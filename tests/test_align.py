@@ -1,0 +1,81 @@
+"""Pigeonhole aligner vs brute-force all-placements (bowtie -v semantics)."""
+
+import numpy as np
+import pytest
+
+from tophat_tpu.index.fasta import genome_from_seqs, revcomp
+from tophat_tpu.index.fm import build_fm_index
+from tophat_tpu.ops.align import align_reads, pad_reads
+
+
+def brute_align(codes, read, k):
+    """All (pos, strand, mm) placements of read with <= k mismatches."""
+    out = []
+    n, l = len(codes), len(read)
+    for strand, q in ((0, read), (1, revcomp(np.asarray(read, np.int8)))):
+        for p in range(n - l + 1):
+            w = codes[p:p + l]
+            mm = int(np.sum((w != q) | (w >= 4) | (q >= 4)))
+            if mm <= k:
+                out.append((p, strand, mm))
+    return sorted(out, key=lambda x: (x[1], x[0]))
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_align_random_vs_brute(rng, k):
+    codes = rng.integers(0, 4, 600).astype(np.int8)
+    genome = genome_from_seqs([("c", "".join("ACGT"[c] for c in codes))])
+    fm = build_fm_index(genome)
+
+    seqs = []
+    for i in range(40):
+        l = int(rng.integers(15, 31))
+        start = int(rng.integers(0, 600 - l))
+        q = codes[start:start + l].copy()
+        nmut = int(rng.integers(0, k + 2))  # sometimes k+1 (must NOT align)
+        for _ in range(nmut):
+            p = int(rng.integers(0, l))
+            q[p] = (q[p] + int(rng.integers(1, 4))) % 4
+        if i % 5 == 0:
+            q = revcomp(q).copy()  # reverse-strand read
+        seqs.append(q)
+
+    rf, rr, lens = pad_reads(seqs)
+    al = align_reads(fm, rf, rr, lens, genome.offsets,
+                     max_mismatches=k, hits_per_seed=64, max_alignments=64)
+
+    for i, q in enumerate(seqs):
+        exp = brute_align(codes, q, k)
+        got = sorted(
+            (int(p), int(s), int(m))
+            for p, s, m, v in zip(np.asarray(al.pos[i]), np.asarray(al.strand[i]),
+                                  np.asarray(al.mm[i]), np.asarray(al.valid[i]))
+            if v)
+        assert got == exp, f"read {i}: got {got} expected {exp}"
+        assert int(al.n_hits[i]) == len(exp)
+
+
+def test_align_rejects_contig_spanning(rng):
+    g = genome_from_seqs([("a", "ACGTACGTACGTACGT"), ("b", "TTTTGGGGCCCCAAAA")])
+    fm = build_fm_index(g)
+    # a read matching the concatenation boundary exactly must be rejected
+    span = g.codes[10:22]
+    rf, rr, lens = pad_reads([span])
+    al = align_reads(fm, rf, rr, lens, g.offsets, max_mismatches=0,
+                     hits_per_seed=16, max_alignments=8)
+    assert int(al.n_hits[0]) == 0
+
+
+def test_align_n_read(rng):
+    codes = rng.integers(0, 4, 400).astype(np.int8)
+    genome = genome_from_seqs([("c", "".join("ACGT"[c] for c in codes))])
+    fm = build_fm_index(genome)
+    q = codes[50:70].copy()
+    q[3] = 4  # N counts as a mismatch
+    rf, rr, lens = pad_reads([q])
+    al0 = align_reads(fm, rf, rr, lens, genome.offsets, max_mismatches=0)
+    al1 = align_reads(fm, rf, rr, lens, genome.offsets, max_mismatches=1)
+    assert int(al0.n_hits[0]) == 0
+    got = [int(p) for p, v in zip(np.asarray(al1.pos[0]),
+                                  np.asarray(al1.valid[0])) if v]
+    assert 50 in got

@@ -1,0 +1,162 @@
+"""End-to-end unspliced read alignment: pigeonhole seeding + verification.
+
+Bowtie1's `-v <k>` mode (align the whole read with <= k mismatches, report
+all placements — the contract TopHat relies on for genome and segment mapping,
+reference: src/tophat.py:2339-2344) reimplemented without backtracking so it
+jits: split each read into k+1 pieces; any <=k-mismatch alignment leaves at
+least one piece exact (pigeonhole), so exact-FM-search every piece, turn piece
+hits into candidate read placements, and verify all candidates with one
+batched genome gather. Reverse-strand placements come from running the same
+machinery on the reverse-complemented reads against the same forward index.
+
+All shapes are static: B reads x (k+1) pieces x H hits/piece candidates ->
+(B, M) alignment slots with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tophat_tpu.ops.search import backward_search
+from tophat_tpu.ops.verify import count_mismatches, gather_windows, same_contig
+
+NEG = jnp.int32(2**30)  # sentinel sort key for invalid candidates
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Alignments:
+    """Fixed-width per-read alignment table (struct of arrays).
+
+    The TPU-side analog of HitsForRead (reference: src/bwt_map.h:1033): all
+    placements of read b live in row b, valid ones flagged by `valid`.
+    pos is a 0-based global genome coordinate of the leftmost aligned base;
+    strand 0 = forward, 1 = reverse complement.
+    """
+
+    pos: Any      # int32 (B, M)
+    strand: Any   # int8  (B, M)
+    mm: Any       # int8  (B, M) mismatch count
+    valid: Any    # bool  (B, M)
+    n_hits: Any   # int32 (B,) total valid placements (pre-truncation)
+    truncated: Any  # bool (B,) seed-hit cap hit; counts may be lower bounds
+
+    @property
+    def shape(self):
+        return self.pos.shape
+
+
+def _piece_queries(reads, lengths, num_pieces: int, piece_len: int):
+    """Cut each read into num_pieces contiguous pieces, right-aligned into a
+    (B, num_pieces, piece_len) query array padded with -1; also return piece
+    start offsets (B, num_pieces)."""
+    B, L = reads.shape
+    j = jnp.arange(num_pieces, dtype=jnp.int32)
+    s = (j[None, :] * lengths[:, None]) // num_pieces          # (B, P)
+    e = ((j[None, :] + 1) * lengths[:, None]) // num_pieces
+    plen = e - s
+    t = jnp.arange(piece_len, dtype=jnp.int32)
+    src = s[:, :, None] + t[None, None, :] - (piece_len - plen)[:, :, None]
+    ok = src >= s[:, :, None]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    q = reads[b_idx, jnp.clip(src, 0, L - 1)]
+    return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s
+
+
+def _align_one_strand(fm, reads, lengths, max_mismatches: int,
+                      hits_per_seed: int):
+    """All placements of `reads` on the forward text with <= max_mismatches.
+
+    Returns (cand_pos, cand_mm, cand_valid, truncated) with C = P*H slots."""
+    B, L = reads.shape
+    P = max_mismatches + 1
+    piece_len = (L + P - 1) // P + 1
+
+    q, piece_start = _piece_queries(reads, lengths, P, piece_len)
+    lo, hi = backward_search(fm, q.reshape(B * P, piece_len))
+    lo = lo.reshape(B, P)
+    hi = hi.reshape(B, P)
+    truncated = jnp.any((hi - lo) > hits_per_seed, axis=1)
+
+    sa = jnp.asarray(fm.sa)
+    h = jnp.arange(hits_per_seed, dtype=jnp.int32)
+    idx = lo[:, :, None] + h[None, None, :]                    # (B, P, H)
+    seed_valid = idx < hi[:, :, None]
+    hitpos = sa[jnp.clip(idx, 0, sa.shape[0] - 1)]
+    cand = hitpos - piece_start[:, :, None]                    # read start pos
+    cand = jnp.where(seed_valid, cand, -NEG).reshape(B, P * hits_per_seed)
+
+    # dedup identical candidate positions (several pieces exact at same spot)
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
+    cand_valid = (cand > -NEG) & ~dup & (cand >= 0)
+
+    windows = gather_windows(fm.genome, cand, L)
+    mm = count_mismatches(windows, reads[:, None, :], lengths[:, None])
+    cand_valid &= (mm <= max_mismatches) & (cand + lengths[:, None] <= fm.n)
+    return cand, mm, cand_valid, truncated
+
+
+@partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
+                                   "max_alignments"))
+def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
+                max_mismatches: int = 2, hits_per_seed: int = 32,
+                max_alignments: int = 64) -> Alignments:
+    """Align a batch both strands; reads_r must be revcomp(reads_f) with the
+    same per-read lengths (padding handled by the caller: both arrays are
+    LEFT-aligned code arrays padded with -1).
+
+    offsets: contig offset table (num_contigs+1,) — alignments crossing a
+    contig boundary in the concatenated genome are rejected.
+    """
+    pf, mf, vf, tf = _align_one_strand(fm, reads_f, lengths, max_mismatches,
+                                       hits_per_seed)
+    pr, mr, vr, tr = _align_one_strand(fm, reads_r, lengths, max_mismatches,
+                                       hits_per_seed)
+    C = pf.shape[1]
+    pos = jnp.concatenate([pf, pr], axis=1)
+    mm = jnp.concatenate([mf, mr], axis=1)
+    valid = jnp.concatenate([vf, vr], axis=1)
+    strand = jnp.concatenate(
+        [jnp.zeros_like(mf, jnp.int8), jnp.ones_like(mr, jnp.int8)], axis=1)
+
+    valid &= same_contig(offsets, pos, lengths[:, None])
+    n_hits = valid.sum(axis=1).astype(jnp.int32)
+
+    # compact: valid slots first, ordered by (strand, pos); lexicographic
+    # multi-key sort avoids building a combined key that could overflow int32
+    inval = (~valid).astype(jnp.int32)
+    _, strand_s, pos_s, mm_s, valid_s = jax.lax.sort(
+        (inval, strand.astype(jnp.int32), pos, mm,
+         valid.astype(jnp.int32)),
+        dimension=1, num_keys=3)
+    sl = slice(0, max_alignments)
+    return Alignments(
+        pos=pos_s[:, sl], strand=strand_s[:, sl].astype(jnp.int8),
+        mm=mm_s[:, sl].astype(jnp.int8), valid=valid_s[:, sl].astype(bool),
+        n_hits=n_hits, truncated=tf | tr)
+
+
+def pad_reads(seqs, max_len: int | None = None):
+    """Host helper: list of int8 code arrays -> (reads_f, reads_r, lengths)
+    left-aligned, -1-padded numpy arrays ready for align_reads."""
+    from tophat_tpu.index.fasta import revcomp
+
+    B = len(seqs)
+    L = max_len or max((len(s) for s in seqs), default=1)
+    reads_f = np.full((B, L), -1, np.int8)
+    reads_r = np.full((B, L), -1, np.int8)
+    lengths = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        l = min(len(s), L)
+        reads_f[i, :l] = s[:l]
+        reads_r[i, :l] = revcomp(np.asarray(s[:l], np.int8))
+        lengths[i] = l
+    return reads_f, reads_r, lengths
