@@ -1,0 +1,202 @@
+"""tophat-compatible command line (reference usage: src/tophat.py:30-152).
+
+Differences from the reference CLI:
+  - the positional <bowtie_index_prefix> may be a FASTA path (or a prefix
+    with .fa/.fasta appended) — the FM index is built in-process instead of
+    shelling out to bowtie-build
+  - legacy flags of the regression suite's era (--allow-indels, --bowtie1,
+    --solexa1.3-quals) are accepted
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def resolve_genome_path(prefix: str) -> str:
+    for cand in (prefix, prefix + ".fa", prefix + ".fasta"):
+        if os.path.isfile(cand):
+            return cand
+    raise SystemExit(f"Error: cannot find genome FASTA for '{prefix}' "
+                     f"(tried {prefix}[.fa|.fasta])")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tophat_tpu",
+        description="TPU-native spliced read mapper (TopHat-compatible)")
+    p.add_argument("index", help="genome FASTA (or prefix with .fa)")
+    p.add_argument("reads1", help="comma-separated reads files (mate 1)")
+    p.add_argument("reads2", nargs="?", default=None,
+                   help="comma-separated reads files (mate 2)")
+    p.add_argument("-o", "--output-dir", default="./tophat_out")
+    p.add_argument("-N", "--read-mismatches", type=int, default=2)
+    p.add_argument("--read-gap-length", type=int, default=2)
+    p.add_argument("--read-edit-dist", type=int, default=2)
+    p.add_argument("-g", "-M", "--max-multihits", type=int, default=20)
+    p.add_argument("--segment-length", type=int, default=25)
+    p.add_argument("--segment-mismatches", type=int, default=2)
+    p.add_argument("-a", "--min-anchor", type=int, default=8)
+    p.add_argument("-m", "--splice-mismatches", type=int, default=0)
+    p.add_argument("-i", "--min-intron-length", type=int, default=70)
+    p.add_argument("-I", "--max-intron-length", type=int, default=500000)
+    p.add_argument("--min-segment-intron", type=int, default=50)
+    p.add_argument("--max-segment-intron", type=int, default=500000)
+    p.add_argument("--max-insertion-length", type=int, default=3)
+    p.add_argument("--max-deletion-length", type=int, default=3)
+    p.add_argument("-r", "--mate-inner-dist", type=int, default=50)
+    p.add_argument("--mate-std-dev", type=int, default=20)
+    p.add_argument("--solexa-quals", action="store_true")
+    p.add_argument("--solexa1.3-quals", "--phred64-quals",
+                   dest="phred64_quals", action="store_true")
+    p.add_argument("--allow-indels", action="store_true",
+                   help="legacy flag (indels are on by default)")
+    p.add_argument("--no-novel-indels", action="store_true")
+    p.add_argument("--insertions", default=None,
+                   help="known insertions BED to include")
+    p.add_argument("--deletions", default=None,
+                   help="known deletions BED to include")
+    p.add_argument("-j", "--raw-juncs", default=None,
+                   help="known junctions (.juncs) to include")
+    p.add_argument("--no-coverage-search", action="store_true")
+    p.add_argument("--coverage-search", action="store_true")
+    p.add_argument("--bowtie1", action="store_true",
+                   help="accepted for compatibility; no external aligner")
+    p.add_argument("--no-sort-bam", action="store_true")
+    p.add_argument("--no-convert-bam", action="store_true")
+    p.add_argument("-p", "--num-threads", type=int, default=1,
+                   help="accepted for compatibility (device parallelism is "
+                        "controlled by the JAX mesh)")
+    return p
+
+
+def load_known_events(genome, ins_path, del_path, juncs_path):
+    from tophat_tpu.index.fasta import encode_seq
+    from tophat_tpu.ops.events import MAX_INS
+    from tophat_tpu.ops.splice import (KIND_DELETION, KIND_INSERTION,
+                                       KIND_JUNCTION)
+    from tophat_tpu.pipeline.juncs import empty_events, merge_events
+
+    name2id = genome.name_to_id()
+    tables = [empty_events()]
+
+    def to_global(name, pos):
+        return int(genome.offsets[name2id[name]]) + int(pos)
+
+    if ins_path:
+        lefts, seqs = [], []
+        with open(ins_path) as f:
+            for line in f:
+                if line.startswith("track") or not line.strip():
+                    continue
+                t = line.split("\t")
+                # insertions.bed stores `left` raw (last base before the
+                # insert, 0-based) — see insertions.cpp print_insertions
+                lefts.append(to_global(t[0], int(t[1])))
+                seqs.append(t[3].strip())
+        ins_seq = np.full((len(lefts), MAX_INS), -1, np.int8)
+        for i, s in enumerate(seqs):
+            c = encode_seq(s)[:MAX_INS]
+            ins_seq[i, : len(c)] = c
+        tables.append(dict(
+            left=np.array(lefts, np.int32),
+            right=np.array(lefts, np.int32) + 1,
+            kind=np.full(len(lefts), KIND_INSERTION, np.int8),
+            antisense=np.zeros(len(lefts), bool),
+            ins_len=np.array([min(len(s), MAX_INS) for s in seqs], np.int8),
+            ins_seq=ins_seq))
+    if del_path:
+        lefts, rights = [], []
+        with open(del_path) as f:
+            for line in f:
+                if line.startswith("track") or not line.strip():
+                    continue
+                t = line.split("\t")
+                lefts.append(to_global(t[0], int(t[1]) - 1))
+                rights.append(to_global(t[0], int(t[2])))
+        tables.append(dict(
+            left=np.array(lefts, np.int32), right=np.array(rights, np.int32),
+            kind=np.full(len(lefts), KIND_DELETION, np.int8),
+            antisense=np.zeros(len(lefts), bool),
+            ins_len=np.zeros(len(lefts), np.int8),
+            ins_seq=np.full((len(lefts), MAX_INS), -1, np.int8)))
+    if juncs_path:
+        lefts, rights, anti = [], [], []
+        with open(juncs_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                t = line.split("\t")
+                lefts.append(to_global(t[0], int(t[1])))
+                rights.append(to_global(t[0], int(t[2])))
+                anti.append(t[3].strip() == "-")
+        tables.append(dict(
+            left=np.array(lefts, np.int32), right=np.array(rights, np.int32),
+            kind=np.full(len(lefts), KIND_JUNCTION, np.int8),
+            antisense=np.array(anti, bool),
+            ins_len=np.zeros(len(lefts), np.int8),
+            ins_seq=np.full((len(lefts), MAX_INS), -1, np.int8)))
+    ev = merge_events(*tables)
+    return ev if len(ev["left"]) else None
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tophat_tpu.index.fasta import read_fasta
+    from tophat_tpu.pipeline.params import Params
+    from tophat_tpu.pipeline.run import load_reads, run_pipeline
+    from tophat_tpu.utils.log import StageLogger
+
+    params = Params(
+        read_mismatches=args.read_mismatches,
+        read_gap_length=args.read_gap_length,
+        read_edit_dist=args.read_edit_dist,
+        max_multihits=args.max_multihits,
+        segment_length=args.segment_length,
+        segment_mismatches=args.segment_mismatches,
+        min_anchor_len=args.min_anchor,
+        splice_mismatches=args.splice_mismatches,
+        min_intron_length=args.min_intron_length,
+        max_intron_length=args.max_intron_length,
+        min_segment_intron=args.min_segment_intron,
+        max_segment_intron=args.max_segment_intron,
+        max_insertion_length=args.max_insertion_length,
+        max_deletion_length=args.max_deletion_length,
+        allow_indels=not args.no_novel_indels,
+        inner_dist_mean=args.mate_inner_dist,
+        inner_dist_std_dev=args.mate_std_dev,
+        quals_scale=("phred64" if args.phred64_quals
+                     else "solexa" if args.solexa_quals else "phred33"),
+        coverage_search=not args.no_coverage_search,
+    )
+
+    out_dir = args.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    logger = StageLogger(out_dir, argv=argv or sys.argv[1:])
+
+    genome = read_fasta(resolve_genome_path(args.index))
+    known = load_known_events(genome, args.insertions, args.deletions,
+                              args.raw_juncs)
+
+    files1 = args.reads1.split(",")
+    batch = load_reads(files1, params.quals_scale)
+    logger.stage("prep_reads")
+    if args.reads2:
+        from tophat_tpu.pipeline.paired import run_pipeline_paired
+        batch2 = load_reads(args.reads2.split(","), params.quals_scale)
+        run_pipeline_paired(genome, batch, batch2, params, out_dir,
+                            known_events=known, log=logger.log)
+    else:
+        run_pipeline(genome, batch, params, out_dir, known_events=known,
+                     log=logger.log)
+    logger.stage("alldone")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -144,6 +144,26 @@ def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
         n_hits=n_hits, truncated=tf | tr)
 
 
+@partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
+                                   "max_hits"))
+def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
+                       hits_per_seed: int, max_hits: int):
+    """Forward-text-only variant for rows that are already in genome space
+    (segment mapping: the caller supplies revcomp rows itself). Returns
+    (pos, mm, valid) compacted to (N, max_hits) plus n_hits and truncation.
+    """
+    cand, mm, valid, trunc = _align_one_strand(
+        fm, reads, lengths, max_mismatches, hits_per_seed)
+    valid &= same_contig(offsets, cand, lengths[:, None])
+    n_hits = valid.sum(axis=1).astype(jnp.int32)
+    inval = (~valid).astype(jnp.int32)
+    _, pos_s, mm_s, valid_s = jax.lax.sort(
+        (inval, cand, mm, valid.astype(jnp.int32)), dimension=1, num_keys=2)
+    sl = slice(0, max_hits)
+    return (pos_s[:, sl], mm_s[:, sl].astype(jnp.int8),
+            valid_s[:, sl].astype(bool), n_hits, trunc)
+
+
 def pad_reads(seqs, max_len: int | None = None):
     """Host helper: list of int8 code arrays -> (reads_f, reads_r, lengths)
     left-aligned, -1-padded numpy arrays ready for align_reads."""

@@ -1,0 +1,125 @@
+"""Junction / indel discovery driver (the segment_juncs stage).
+
+Host glue around the device scans in ops/splice.py: segment hit tables ->
+pair windows -> motif scans -> unique event table. Output is the unified
+event table consumed by ops/events.realign_events (the tmp/segment.juncs,
+.insertions, .deletions files of the reference, kept in memory:
+reference src/segment_juncs.cpp:5186 driver writes them to disk).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from tophat_tpu.ops.events import MAX_INS
+from tophat_tpu.ops.splice import (KIND_DELETION, KIND_INSERTION,
+                                   KIND_JUNCTION, build_indel_pairs,
+                                   build_pair_windows, compact_windows,
+                                   scan_indel_pairs, scan_windows)
+from tophat_tpu.pipeline.segment import GenomeSpaceReads, map_segments
+
+MAX_WINDOWS = 32768
+MAX_INDEL_PAIRS = 16384
+
+
+def empty_events() -> Dict[str, np.ndarray]:
+    return dict(left=np.zeros(0, np.int32), right=np.zeros(0, np.int32),
+                kind=np.zeros(0, np.int8), antisense=np.zeros(0, bool),
+                ins_len=np.zeros(0, np.int8),
+                ins_seq=np.zeros((0, MAX_INS), np.int8))
+
+
+def merge_events(*tables: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in empty_events():
+        out[k] = np.concatenate([t[k] for t in tables])
+    return dedup_events(out)
+
+
+def dedup_events(ev: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Unique by (kind, left, right, antisense, ins seq)."""
+    if len(ev["left"]) == 0:
+        return ev
+    key = np.stack([ev["kind"].astype(np.int64), ev["left"].astype(np.int64),
+                    ev["right"].astype(np.int64),
+                    ev["antisense"].astype(np.int64)]
+                   + [ev["ins_seq"][:, i].astype(np.int64)
+                      for i in range(ev["ins_seq"].shape[1])], axis=1)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    idx = np.sort(idx)
+    return {k: v[idx] for k, v in ev.items()}
+
+
+def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
+                    seg_tables=None, log=None) -> Dict[str, np.ndarray]:
+    """Split-segment junction search + small-indel detection for one batch
+    of genome-space reads. Returns the deduped event table."""
+    if gs.rows == 0:
+        return empty_events()
+    if seg_tables is None:
+        seg_tables = map_segments(
+            fm, offsets, gs, segment_mismatches=params.segment_mismatches,
+            hits_per_seed=params.hits_per_seed, max_hits=16)
+    seg_pos, seg_mm, seg_valid = seg_tables
+
+    readsg = jnp.asarray(gs.readsg)
+    cuts = jnp.asarray(gs.cuts)
+    nseg = jnp.asarray(gs.nseg)
+    lengths = jnp.asarray(gs.lengths)
+
+    # --- junction windows -------------------------------------------------
+    win = build_pair_windows(
+        jnp.asarray(seg_pos), jnp.asarray(seg_valid), cuts, nseg, lengths,
+        params.min_segment_intron, params.max_segment_intron,
+        params.segment_length)
+    win, w_ovf = compact_windows(win, MAX_WINDOWS)
+    sup_max = int(np.max(gs.cuts[:, 1:] - gs.cuts[:, :-1])) + 16 + 1
+    jl, jr, jrev, jvalid = scan_windows(fm.genome, readsg, win, sup_max)
+
+    jl = np.asarray(jl)[np.asarray(jvalid)]
+    jr = np.asarray(jr)[np.asarray(jvalid)]
+    jrev = np.asarray(jrev)[np.asarray(jvalid)]
+    juncs = dict(left=jl.astype(np.int32), right=jr.astype(np.int32),
+                 kind=np.full(len(jl), KIND_JUNCTION, np.int8),
+                 antisense=jrev.astype(bool),
+                 ins_len=np.zeros(len(jl), np.int8),
+                 ins_seq=np.full((len(jl), MAX_INS), -1, np.int8))
+
+    # --- indels -----------------------------------------------------------
+    indels = empty_events()
+    if params.allow_indels:
+        pairs, p_ovf = build_indel_pairs(
+            jnp.asarray(seg_pos), jnp.asarray(seg_mm), jnp.asarray(seg_valid),
+            cuts, nseg, params.max_deletion_length,
+            params.max_insertion_length, MAX_INDEL_PAIRS)
+        two_seg_max = int(2 * np.max(gs.cuts[:, 1:] - gs.cuts[:, :-1])) + 1
+        kind, left, right, ins_len, valid, best_t, rowf, ins_off = (
+            scan_indel_pairs(fm.genome, readsg, lengths, pairs, two_seg_max))
+        valid = np.asarray(valid)
+        kind, left, right = (np.asarray(kind)[valid], np.asarray(left)[valid],
+                             np.asarray(right)[valid])
+        ins_len = np.asarray(ins_len)[valid]
+        rowf = np.asarray(rowf)[valid]
+        ins_off = np.asarray(ins_off)[valid]
+        ins_seq = np.full((len(kind), MAX_INS), -1, np.int8)
+        for i in range(len(kind)):
+            if kind[i] == KIND_INSERTION and ins_len[i] > 0:
+                s = gs.readsg[rowf[i], ins_off[i]: ins_off[i] + ins_len[i]]
+                ins_seq[i, : len(s)] = s
+        indels = dict(left=left.astype(np.int32), right=right.astype(np.int32),
+                      kind=kind.astype(np.int8),
+                      antisense=np.zeros(len(kind), bool),
+                      ins_len=ins_len.astype(np.int8), ins_seq=ins_seq)
+
+    ev = merge_events(juncs, indels)
+    if log:
+        nj = int((ev["kind"] == KIND_JUNCTION).sum())
+        nd = int((ev["kind"] == KIND_DELETION).sum())
+        ni = int((ev["kind"] == KIND_INSERTION).sum())
+        log(f"Found {nj} potential split-segment junctions")
+        log(f"Found {nd} potential small deletions")
+        log(f"Found {ni} potential small insertions")
+    return ev

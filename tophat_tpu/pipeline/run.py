@@ -1,0 +1,187 @@
+"""End-to-end pipeline: the spliced_alignment + compile_reports flow of the
+reference driver (src/tophat.py:3428 spliced_alignment, :2665
+compile_reports) as in-process functions.
+
+Stage order mirrors the reference semantically:
+  prep -> full-read genome alignment -> IUM segmentation -> segment mapping
+  -> junction/indel discovery (joint across mates) -> event realignment ->
+  pass-1 stats + filter -> pass-2 selection -> outputs
+but all "files between stages" are arrays in memory and all heavy loops are
+device batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tophat_tpu.index.fasta import Genome, revcomp
+from tophat_tpu.index.fm import FMIndex, build_fm_index
+from tophat_tpu.io.fastq import ReadBatch, batch_reads, read_all
+from tophat_tpu.ops.align import Alignments, align_reads
+from tophat_tpu.ops.events import realign_events
+from tophat_tpu.pipeline.juncs import (discover_events, empty_events,
+                                       merge_events)
+from tophat_tpu.pipeline.params import Params
+from tophat_tpu.pipeline.prep import prep_filter
+from tophat_tpu.pipeline.report import (accumulate_event_stats,
+                                        collect_candidates, filter_junctions,
+                                        select_best)
+from tophat_tpu.pipeline.segment import build_genome_space
+
+
+def revcomp_rows(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """(B, L) left-aligned codes -> revcomp rows, still left-aligned."""
+    out = np.full_like(codes, -1)
+    for i, l in enumerate(lengths):
+        l = int(l)
+        out[i, :l] = revcomp(codes[i, :l])
+    return out
+
+
+def load_reads(files: List[str], quals_scale: str) -> ReadBatch:
+    records = []
+    for path in files:
+        records.extend(read_all(path, quals_scale))
+    return batch_reads(records)
+
+
+@dataclasses.dataclass
+class MateState:
+    """Per-mate intermediate state flowing between stages."""
+
+    batch: ReadBatch
+    keep: np.ndarray
+    aln: Alignments
+    gs: object
+    prep_stats: object
+    seg_tables: tuple = None
+    stitched: tuple = None  # (pos, mm, ok) (rows, H) contiguous chains
+    cands: Optional[Dict[int, list]] = None
+
+
+def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
+    from tophat_tpu.ops.stitch import stitch_contiguous
+    from tophat_tpu.pipeline.segment import map_segments
+    import jax.numpy as jnp
+
+    keep, prep_stats = prep_filter(batch)
+    reads_f = batch.codes
+    reads_r = revcomp_rows(batch.codes, batch.lengths)
+    lengths = batch.lengths.astype(np.int32)
+
+    aln = align_reads(fm, reads_f, reads_r, lengths, offsets,
+                      max_mismatches=params.read_mismatches,
+                      hits_per_seed=params.hits_per_seed,
+                      max_alignments=params.max_alignments)
+    valid = np.asarray(aln.valid) & keep[:, None]
+    n_hits = np.where(keep, np.asarray(aln.n_hits), 0)
+    aln = Alignments(pos=np.asarray(aln.pos), strand=np.asarray(aln.strand),
+                     mm=np.asarray(aln.mm), valid=valid, n_hits=n_hits,
+                     truncated=np.asarray(aln.truncated))
+    ium = keep & (n_hits == 0)
+    log(f"genome map: {int((n_hits > 0).sum())} mapped, {int(ium.sum())} IUM")
+    gs = build_genome_space(reads_f, reads_r, lengths,
+                            params.segment_length, row_mask=ium)
+    seg_tables = None
+    stitched = None
+    if gs.rows:
+        seg_tables = map_segments(
+            fm, offsets, gs, segment_mismatches=params.segment_mismatches,
+            hits_per_seed=params.hits_per_seed, max_hits=16)
+        st = stitch_contiguous(
+            jnp.asarray(seg_tables[0]), jnp.asarray(seg_tables[1]),
+            jnp.asarray(seg_tables[2]), jnp.asarray(gs.cuts),
+            jnp.asarray(gs.nseg))
+        stitched = tuple(np.asarray(x) for x in st)
+    return MateState(batch=batch, keep=keep, aln=aln, gs=gs,
+                     prep_stats=prep_stats, seg_tables=seg_tables,
+                     stitched=stitched)
+
+
+def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
+                  fm: Optional[FMIndex] = None,
+                  known_events: Optional[Dict[str, np.ndarray]] = None,
+                  log=print):
+    """Run prep/map/discover/realign/filter for 1 (single) or 2 (paired)
+    read batches. Returns (mates, events, stats, accepted, fm)."""
+    if fm is None:
+        log("Building FM index...")
+        fm = build_fm_index(genome)
+    offsets = genome.offsets.astype(np.int32)
+
+    mates = [_map_mate(fm, offsets, b, params, log) for b in batches]
+
+    # joint discovery over every mate's IUM reads
+    tables = [discover_events(fm, offsets, m.gs, params,
+                              seg_tables=m.seg_tables, log=log)
+              for m in mates]
+    if known_events is not None:
+        tables.append(known_events)
+    events = merge_events(*tables)
+
+    for m in mates:
+        # stitched alignments carry up to segment_mismatches per segment
+        max_nseg = int(m.gs.nseg.max()) if m.gs.rows else 1
+        realign_mm = params.segment_mismatches * max_nseg
+        if m.gs.rows and len(events["left"]):
+            ev = dict(events)
+            ev["valid"] = np.ones(len(ev["left"]), bool)
+            spl = realign_events(fm.genome, m.gs.readsg, m.gs.lengths, ev,
+                                 max_mm=realign_mm)
+        else:
+            spl = (np.zeros((m.gs.rows, 0), np.int32),
+                   np.zeros((m.gs.rows, 0), np.int32),
+                   np.zeros((m.gs.rows, 0), bool))
+        m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
+                                     stitched=m.stitched,
+                                     genome_codes=np.asarray(fm.genome))
+
+    # pass 1: stats + acceptance over all mates' candidates
+    stats: Dict[int, object] = {}
+    for m in mates:
+        mstats = accumulate_event_stats(m.cands, events,
+                                        m.batch.lengths.astype(np.int32))
+        for e, st in mstats.items():
+            if e in stats:
+                prev = stats[e]
+                prev.supporting += st.supporting
+                prev.left_extent = max(prev.left_extent, st.left_extent)
+                prev.right_extent = max(prev.right_extent, st.right_extent)
+                prev.min_mm = min(prev.min_mm, st.min_mm)
+            else:
+                stats[e] = st
+    filter_junctions(events, stats, params)
+    accepted = {e for e, st in stats.items() if st.accepted}
+    return mates, events, stats, accepted, fm
+
+
+def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
+                 out_dir: str, fm: Optional[FMIndex] = None,
+                 known_events: Optional[Dict[str, np.ndarray]] = None,
+                 log=print):
+    from tophat_tpu.pipeline.report import write_outputs
+
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    mates, events, stats, accepted, fm = pipeline_core(
+        genome, [batch], params, fm=fm, known_events=known_events, log=log)
+    m = mates[0]
+    with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
+        f.write(m.prep_stats.info_text())
+
+    rng = np.random.default_rng(1)
+    selected = {}
+    for r, clist in m.cands.items():
+        usable = [c for c in clist if c.ev < 0 or c.ev in accepted]
+        selected[r] = select_best(usable, params.max_multihits, rng)
+
+    records = write_outputs(out_dir, genome, params, batch, selected, events)
+    log(f"done in {time.time() - t0:.1f}s; {len(records)} alignments "
+        f"reported")
+    return dict(mates=mates, events=events, stats=stats, selected=selected,
+                fm=fm)

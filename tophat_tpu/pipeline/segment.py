@@ -1,0 +1,110 @@
+"""Read segmentation and segment mapping, in genome space.
+
+Replaces split_reads + per-segment bowtie invocations (reference:
+src/tophat.py:2878 split_reads, :3573 segment mapping loop). Instead of
+writing seg1..segN FASTQ files and renaming reads `name|offset:seg:nsegs`,
+each read becomes two genome-space rows (forward codes; reverse-complement
+codes) and segments are row-local slices — the whole segment batch maps in
+one aligner call.
+
+Genome-space convention: row r < R is read r on strand +; row R + r is
+revcomp(read r) (strand -). Segment index is GENOME order: for strand -,
+segment j is the original read's segment nseg-1-j, and cut offsets mirror
+accordingly, so all downstream gap/window logic is strand-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import numpy as np
+
+from tophat_tpu.ops.align import align_forward_rows
+from tophat_tpu.pipeline.prep import segment_offsets
+
+
+@dataclasses.dataclass
+class GenomeSpaceReads:
+    readsg: np.ndarray    # (2R, L) int8 genome-space codes, -1 padded
+    lengths: np.ndarray   # (2R,) int32
+    cuts: np.ndarray      # (2R, S+1) int32 genome-space segment boundaries
+    nseg: np.ndarray      # (2R,) int32
+    read_idx: np.ndarray  # (2R,) int32 original read index
+    strand: np.ndarray    # (2R,) int8 0=+ 1=-
+
+    @property
+    def rows(self) -> int:
+        return self.readsg.shape[0]
+
+
+def build_genome_space(reads_f: np.ndarray, reads_r: np.ndarray,
+                       lengths: np.ndarray, segment_length: int,
+                       row_mask: np.ndarray | None = None) -> GenomeSpaceReads:
+    """reads_f/reads_r: (R, L) from ops.align.pad_reads; row_mask selects the
+    subset of reads to include (e.g. the IUM reads)."""
+    if row_mask is None:
+        row_mask = np.ones(len(lengths), bool)
+    idx = np.nonzero(row_mask)[0].astype(np.int32)
+    R = len(idx)
+    L = reads_f.shape[1]
+
+    @lru_cache(maxsize=None)
+    def offs(l):
+        return segment_offsets(int(l), segment_length)
+
+    nseg1 = np.array([len(offs(l)) - 1 for l in lengths[idx]], np.int32)
+    S = int(nseg1.max()) if R else 1
+    cuts_f = np.zeros((R, S + 1), np.int32)
+    cuts_r = np.zeros((R, S + 1), np.int32)
+    for i, ridx in enumerate(idx):
+        o = offs(lengths[ridx])
+        k = len(o) - 1
+        cuts_f[i, : k + 1] = o
+        cuts_f[i, k + 1:] = o[-1]
+        rev = [int(lengths[ridx]) - v for v in o[::-1]]
+        cuts_r[i, : k + 1] = rev
+        cuts_r[i, k + 1:] = rev[-1]
+
+    return GenomeSpaceReads(
+        readsg=np.concatenate([reads_f[idx], reads_r[idx]]),
+        lengths=np.concatenate([lengths[idx], lengths[idx]]).astype(np.int32),
+        cuts=np.concatenate([cuts_f, cuts_r]),
+        nseg=np.concatenate([nseg1, nseg1]),
+        read_idx=np.concatenate([idx, idx]),
+        strand=np.concatenate(
+            [np.zeros(R, np.int8), np.ones(R, np.int8)]),
+    )
+
+
+def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
+                 segment_mismatches: int, hits_per_seed: int, max_hits: int):
+    """Align every segment of every row against the forward text.
+
+    Returns (seg_pos, seg_mm, seg_valid): (2R, S, H) tables in genome order.
+    """
+    rows, L = gs.readsg.shape
+    S = gs.cuts.shape[1] - 1
+    seg_len_tbl = gs.cuts[:, 1:] - gs.cuts[:, :-1]          # (2R, S)
+    SEGL = int(seg_len_tbl.max()) if rows else 1
+
+    seg_reads = np.full((rows * S, SEGL), -1, np.int8)
+    seg_lens = seg_len_tbl.reshape(-1).astype(np.int32)
+    t = np.arange(SEGL)
+    src = gs.cuts[:, :-1][:, :, None] + t[None, None, :]     # (2R, S, SEGL)
+    ok = t[None, None, :] < seg_len_tbl[:, :, None]
+    gathered = np.take_along_axis(
+        gs.readsg, np.clip(src, 0, L - 1).reshape(rows, -1), axis=1
+    ).reshape(rows, S, SEGL)
+    seg_reads = np.where(ok, gathered, -1).reshape(rows * S, SEGL).astype(np.int8)
+
+    pos, mm, valid, n_hits, trunc = align_forward_rows(
+        fm, seg_reads, np.maximum(seg_lens, 1), offsets,
+        max_mismatches=segment_mismatches, hits_per_seed=hits_per_seed,
+        max_hits=max_hits)
+    H = max_hits
+    zero_len = (seg_lens == 0)[:, None]
+    valid = np.asarray(valid) & ~zero_len
+    return (np.asarray(pos).reshape(rows, S, H),
+            np.asarray(mm).reshape(rows, S, H),
+            valid.reshape(rows, S, H))
