@@ -37,7 +37,7 @@ def get_fm():
     from tophat_tpu.index.fm import FMIndex, build_fm_index
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7.npz")
+    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k13.npz")
     if os.path.exists(path):
         return FMIndex.load(path)
     rng = np.random.default_rng(7)
@@ -45,7 +45,7 @@ def get_fm():
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
                     names=["chr1"])
     t0 = time.time()
-    fm = build_fm_index(genome)
+    fm = build_fm_index(genome, kmer_k=13)
     print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr)
     fm.save(path)
     return fm

@@ -1,0 +1,60 @@
+"""BAM/BGZF codec: read the reference's gold BAM files, roundtrip ours."""
+
+import os
+
+import pytest
+
+from tophat_tpu.io.bam import BamRecord, BamWriter, read_bam
+
+GOLD = ("/root/reference/tests/regression_tests/test_cases/"
+        "test_SimpleSplicing/tophat_out")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLD), reason="reference unavailable")
+def test_read_gold_bam_matches_gold_sam():
+    text, names, lengths, records = read_bam(
+        os.path.join(GOLD, "accepted_hits.bam"))
+    assert names == ["fake"] and lengths == [500]
+
+    with open(os.path.join(GOLD, "accepted_hits.sam")) as f:
+        sam_lines = [l.rstrip("\n").split("\t") for l in f]
+    assert len(records) == len(sam_lines)
+    for rec, sam in zip(records, sam_lines):
+        assert rec.name == sam[0]
+        assert rec.flag == int(sam[1])
+        assert rec.pos + 1 == int(sam[3])
+        cig = "".join(f"{n}{op}" for op, n in rec.cigar)
+        assert cig == sam[5]
+        assert rec.seq.decode() == sam[9]
+        assert rec.qual.decode() == sam[10]
+
+
+def test_bam_roundtrip(tmp_path):
+    path = str(tmp_path / "t.bam")
+    w = BamWriter(path, "@HD\tVN:1.0\tSO:coordinate\n", ["chrA", "chrB"],
+                  [1000, 2000])
+    recs = [
+        BamRecord("r1", 0, 0, 9, 255, [("M", 10)], -1, -1, 0,
+                  b"ACGTACGTAC", b"IIIIIIIIII",
+                  [("NM", "i", 0), ("NH", "i", 1)]),
+        BamRecord("r2", 16, 1, 99, 3, [("M", 4), ("N", 50), ("M", 6)],
+                  -1, -1, 0, b"ACGTACGTAC", b"**********",
+                  [("NM", "i", 1), ("XS", "A", "+"), ("NH", "i", 2),
+                   ("CC", "Z", "="), ("CP", "i", 100)]),
+        BamRecord("u1", 4, -1, -1, 0, [], -1, -1, 0,
+                  b"ACGTNACGTA", b"IIIIIIIIII", []),
+    ]
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    text, names, lengths, got = read_bam(path)
+    assert names == ["chrA", "chrB"] and lengths == [1000, 2000]
+    assert "SO:coordinate" in text
+    assert len(got) == 3
+    for a, b in zip(recs, got):
+        assert a.name == b.name and a.flag == b.flag
+        assert a.ref_id == b.ref_id and a.pos == b.pos
+        assert a.cigar == b.cigar
+        assert a.seq == b.seq and a.qual == b.qual
+        assert a.tags == b.tags

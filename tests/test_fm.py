@@ -114,3 +114,27 @@ def test_multi_contig_coords():
     cid, local = g.global_to_contig(np.array([0, 19, 20, 31]))
     np.testing.assert_array_equal(cid, [0, 0, 1, 1])
     np.testing.assert_array_equal(local, [0, 19, 0, 11])
+
+
+def test_kmer_seed_table_equivalence(rng):
+    codes = rng.integers(0, 4, 2000).astype(np.int8)
+    fm0 = build_fm_index(codes)
+    fm6 = build_fm_index(codes, kmer_k=6)
+    L = 14
+    queries = np.full((64, L), -1, np.int32)
+    for i in range(64):
+        ql = int(rng.integers(4, L + 1))  # some shorter than k
+        if i % 2:
+            s = int(rng.integers(0, 2000 - ql))
+            q = codes[s:s + ql]
+        else:
+            q = rng.integers(0, 4, ql)
+        queries[i, L - ql:] = q
+    lo0, hi0 = (np.asarray(x) for x in backward_search(fm0, queries))
+    lo6, hi6 = (np.asarray(x) for x in backward_search(fm6, queries))
+    # empty intervals may collapse at different rows; compare match sets
+    np.testing.assert_array_equal(np.maximum(hi0 - lo0, 0),
+                                  np.maximum(hi6 - lo6, 0))
+    nonempty = hi0 > lo0
+    np.testing.assert_array_equal(lo0[nonempty], lo6[nonempty])
+    np.testing.assert_array_equal(hi0[nonempty], hi6[nonempty])

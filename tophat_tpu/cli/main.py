@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="known deletions BED to include")
     p.add_argument("-j", "--raw-juncs", default=None,
                    help="known junctions (.juncs) to include")
+    p.add_argument("-G", "--GTF", dest="gtf", default=None,
+                   help="gene model annotations (GTF/GFF2) — known "
+                        "junctions auto-accepted")
+    p.add_argument("--transcriptome-index", default=None,
+                   help="accepted for compatibility (the GTF junctions are "
+                        "used directly; no separate index is built)")
+    p.add_argument("--no-novel-juncs", action="store_true")
     p.add_argument("--no-coverage-search", action="store_true")
     p.add_argument("--coverage-search", action="store_true")
     p.add_argument("--bowtie1", action="store_true",
@@ -182,6 +189,19 @@ def main(argv=None):
     genome = read_fasta(resolve_genome_path(args.index))
     known = load_known_events(genome, args.insertions, args.deletions,
                               args.raw_juncs)
+    gtf_accept = None
+    if args.gtf:
+        from tophat_tpu.io.gtf import gtf_junctions, parse_gtf
+        from tophat_tpu.pipeline.juncs import merge_events
+
+        transcripts = parse_gtf(args.gtf)
+        gtf_ev, gtf_accept = gtf_junctions(genome, transcripts)
+        logger_msg = (f"GTF: {len(transcripts)} transcripts, "
+                      f"{len(gtf_ev['left'])} known junctions")
+        known = merge_events(known, gtf_ev) if known is not None else gtf_ev
+
+    if args.gtf:
+        logger.log(logger_msg)
 
     files1 = args.reads1.split(",")
     batch = load_reads(files1, params.quals_scale)
@@ -190,10 +210,11 @@ def main(argv=None):
         from tophat_tpu.pipeline.paired import run_pipeline_paired
         batch2 = load_reads(args.reads2.split(","), params.quals_scale)
         run_pipeline_paired(genome, batch, batch2, params, out_dir,
-                            known_events=known, log=logger.log)
+                            known_events=known, gtf_accept=gtf_accept,
+                            log=logger.log)
     else:
         run_pipeline(genome, batch, params, out_dir, known_events=known,
-                     log=logger.log)
+                     gtf_accept=gtf_accept, log=logger.log)
     logger.stage("alldone")
     return 0
 

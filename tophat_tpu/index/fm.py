@@ -56,21 +56,37 @@ class FMIndex:
     sa: Any          # int32[n+1]
     genome: Any      # int8[n]
     primary: Any     # int32[] scalar
+    # word-packed genome for fast verification: 2-bit codes (N stored as 0)
+    # and a 1-bit N mask, both little-endian within each uint32
+    packed_genome: Any  # uint32[ceil(n/16)]
+    n_mask: Any         # uint32[ceil(n/32)]
+    # optional k-mer -> SA-interval seed table (skips the first k backward
+    # search steps; size 2 * 4^k int32, independent of genome size)
+    kmer_lo: Any        # int32[4^k] or int32[0]
+    kmer_hi: Any        # int32[4^k] or int32[0]
     n: int = dataclasses.field(metadata=dict(static=True))
+    kmer_k: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     def device_put(self, sharding=None) -> "FMIndex":
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
-        return FMIndex(
-            packed_bwt=put(self.packed_bwt), occ_ck=put(self.occ_ck),
+        return dataclasses.replace(
+            self, packed_bwt=put(self.packed_bwt), occ_ck=put(self.occ_ck),
             C=put(self.C), sa=put(self.sa), genome=put(self.genome),
-            primary=put(self.primary), n=self.n)
+            primary=put(self.primary), packed_genome=put(self.packed_genome),
+            n_mask=put(self.n_mask), kmer_lo=put(self.kmer_lo),
+            kmer_hi=put(self.kmer_hi))
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        np.savez(
             path, packed_bwt=np.asarray(self.packed_bwt),
             occ_ck=np.asarray(self.occ_ck), C=np.asarray(self.C),
             sa=np.asarray(self.sa), genome=np.asarray(self.genome),
-            primary=np.asarray(self.primary), n=self.n)
+            primary=np.asarray(self.primary),
+            packed_genome=np.asarray(self.packed_genome),
+            n_mask=np.asarray(self.n_mask),
+            kmer_lo=np.asarray(self.kmer_lo),
+            kmer_hi=np.asarray(self.kmer_hi),
+            n=self.n, kmer_k=self.kmer_k)
 
     @staticmethod
     def load(path: str) -> "FMIndex":
@@ -78,14 +94,48 @@ class FMIndex:
         return FMIndex(
             packed_bwt=z["packed_bwt"], occ_ck=z["occ_ck"], C=z["C"],
             sa=z["sa"], genome=z["genome"], primary=z["primary"][()],
-            n=int(z["n"][()]))
+            packed_genome=z["packed_genome"], n_mask=z["n_mask"],
+            kmer_lo=z["kmer_lo"], kmer_hi=z["kmer_hi"],
+            n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]))
 
 
-def build_fm_index(genome: Genome | np.ndarray) -> FMIndex:
+def pack_1bit(bits: np.ndarray) -> np.ndarray:
+    """Pack a boolean array into uint32 words, bit i%32 of word i//32."""
+    n = bits.shape[0]
+    nwords = (n + 31) // 32
+    padded = np.zeros(nwords * 32, dtype=np.uint32)
+    padded[:n] = bits.astype(np.uint32)
+    padded = padded.reshape(nwords, 32)
+    shifts = np.arange(32, dtype=np.uint32)[None, :]
+    return np.bitwise_or.reduce(padded << shifts, axis=1).astype(np.uint32)
+
+
+def _build_kmer_table(text: np.ndarray, sa: np.ndarray, k: int):
+    """SA interval [lo, hi) of every k-mer, exploiting that fixed-length
+    prefixes appear in sorted, contiguous runs along the suffix array."""
+    n = text.shape[0]
+    if n < k:
+        z = np.zeros(4 ** k, np.int32)
+        return z, z.copy()
+    v = np.zeros(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        v = v * 4 + text[j: n - k + 1 + j]
+    rows = np.nonzero(sa <= n - k)[0]
+    vals_sorted = v[sa[rows]]          # non-decreasing along SA order
+    cnt = np.bincount(vals_sorted, minlength=4 ** k).astype(np.int32)
+    first = np.concatenate([[0], np.cumsum(cnt[:-1])])
+    lo = np.where(cnt > 0,
+                  rows[np.minimum(first, len(rows) - 1)], 0).astype(np.int32)
+    return lo, lo + cnt
+
+
+def build_fm_index(genome: Genome | np.ndarray,
+                   kmer_k: int = 0) -> FMIndex:
     """Build the FM-index of a genome's forward strand on the host.
 
     Reverse-strand alignment is done by searching the reverse complement of
-    the read against this same index (no second index needed)."""
+    the read against this same index (no second index needed).
+    kmer_k > 0 additionally builds the k-mer SA-interval seed table."""
     codes = genome.codes if isinstance(genome, Genome) else np.asarray(genome)
     codes = codes.astype(np.int8)
     text = np.where(codes == 4, 0, codes).astype(np.int8)  # N -> A in FM text
@@ -111,7 +161,15 @@ def build_fm_index(genome: Genome | np.ndarray) -> FMIndex:
     C += 1
     C[0] = 1
 
+    if kmer_k:
+        kmer_lo, kmer_hi = _build_kmer_table(text, sa, kmer_k)
+    else:
+        kmer_lo = kmer_hi = np.zeros(0, np.int32)
+
     return FMIndex(
         packed_bwt=pack_2bit(bwt), occ_ck=occ_ck, C=C,
         sa=sa.astype(np.int32), genome=codes,
-        primary=np.int32(primary), n=n)
+        primary=np.int32(primary),
+        packed_genome=pack_2bit(text), n_mask=pack_1bit(codes == 4),
+        kmer_lo=kmer_lo, kmer_hi=kmer_hi,
+        n=n, kmer_k=kmer_k)

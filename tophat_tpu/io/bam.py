@@ -1,0 +1,276 @@
+"""BAM/BGZF reading and writing (pure Python + zlib).
+
+Replaces the role of the vendored samtools-0.1.18 libbam (reference:
+src/samtools-0.1.18/bam.h, sam.h, bgzf.h — linked into every stage binary
+and also invoked as the `samtools` CLI for sort/merge/view,
+src/tophat.py:2753-2812). The pipeline itself keeps alignments in arrays;
+BAM exists at the edges, so a host-side codec is sufficient. Readers accept
+any BGZF stream (including the reference's gold files); the writer emits
+standard BGZF blocks with the canonical EOF marker.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_SEQ_CODE = "=ACMGRSVTWYHKDBN"
+_SEQ_ENC = {c: i for i, c in enumerate(_SEQ_CODE)}
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+# ---------------------------------------------------------------------------
+# BGZF container
+# ---------------------------------------------------------------------------
+
+def bgzf_blocks(f: BinaryIO) -> Iterator[bytes]:
+    """Yield decompressed BGZF block payloads."""
+    while True:
+        header = f.read(18)
+        if len(header) < 18:
+            return
+        if header[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError("not a BGZF stream")
+        xlen = struct.unpack("<H", header[10:12])[0]
+        extra = header[12:18] + f.read(xlen - 6)
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            si1, si2, slen = extra[i], extra[i + 1], struct.unpack(
+                "<H", extra[i + 2: i + 4])[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack("<H", extra[i + 4: i + 6])[0]
+            i += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC field")
+        cdata = f.read(bsize - xlen - 19)
+        f.read(8)  # crc32 + isize
+        data = zlib.decompress(cdata, -15)
+        if data:
+            yield data
+
+
+class BgzfWriter:
+    MAX_BLOCK = 65000
+
+    def __init__(self, f: BinaryIO):
+        self.f = f
+        self.buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self.buf += data
+        while len(self.buf) >= self.MAX_BLOCK:
+            self._flush_block(self.buf[: self.MAX_BLOCK])
+            del self.buf[: self.MAX_BLOCK]
+
+    def _flush_block(self, data) -> None:
+        data = bytes(data)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(data) + co.flush()
+        bsize = len(cdata) + 25  # BSIZE = total block size - 1
+        header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                  + struct.pack("<H", 6)
+                  + b"BC" + struct.pack("<H", 2)
+                  + struct.pack("<H", bsize))
+        self.f.write(header + cdata
+                     + struct.pack("<I", zlib.crc32(data))
+                     + struct.pack("<I", len(data)))
+
+    def close(self) -> None:
+        if self.buf:
+            self._flush_block(self.buf)
+            self.buf = bytearray()
+        self.f.write(BGZF_EOF)
+
+
+# ---------------------------------------------------------------------------
+# BAM records
+# ---------------------------------------------------------------------------
+
+class BamRecord:
+    __slots__ = ("name", "flag", "ref_id", "pos", "mapq", "cigar", "ref_id2",
+                 "pos2", "tlen", "seq", "qual", "tags")
+
+    def __init__(self, name, flag, ref_id, pos, mapq, cigar, ref_id2, pos2,
+                 tlen, seq, qual, tags):
+        self.name = name
+        self.flag = flag
+        self.ref_id = ref_id
+        self.pos = pos            # 0-based
+        self.mapq = mapq
+        self.cigar = cigar        # [(op_char, len)]
+        self.ref_id2 = ref_id2
+        self.pos2 = pos2
+        self.tlen = tlen
+        self.seq = seq            # ASCII bytes
+        self.qual = qual          # phred33 ASCII bytes (b"*" if absent)
+        self.tags = tags          # [(tag, type_char, value)]
+
+
+def reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _ref_span(cigar) -> int:
+    return sum(n for op, n in cigar if op in "MDN=X")
+
+
+def encode_record(rec: BamRecord) -> bytes:
+    name = rec.name.encode() + b"\x00"
+    cig = b"".join(struct.pack("<I", (n << 4) | _CIGAR_OPS.index(op))
+                   for op, n in rec.cigar)
+    l_seq = 0 if rec.seq in (b"*", b"") else len(rec.seq)
+    seq4 = bytearray()
+    for i in range(0, l_seq, 2):
+        hi = _SEQ_ENC.get(chr(rec.seq[i]).upper(), 15) << 4
+        lo = (_SEQ_ENC.get(chr(rec.seq[i + 1]).upper(), 15)
+              if i + 1 < l_seq else 0)
+        seq4.append(hi | lo)
+    if rec.qual in (b"*", b"") or l_seq == 0:
+        qual = b"\xff" * l_seq
+    else:
+        qual = bytes(q - 33 for q in rec.qual[:l_seq])
+    tags = bytearray()
+    for tag, typ, val in rec.tags:
+        tags += tag.encode()
+        if typ == "i":
+            tags += b"i" + struct.pack("<i", val)
+        elif typ == "A":
+            tags += b"A" + val.encode()
+        elif typ == "Z":
+            tags += b"Z" + val.encode() + b"\x00"
+        else:
+            raise ValueError(f"unsupported tag type {typ}")
+    end = rec.pos + max(1, _ref_span(rec.cigar))
+    body = struct.pack(
+        "<iiBBHHHiiii", rec.ref_id, rec.pos, len(name), rec.mapq,
+        reg2bin(rec.pos, end), len(rec.cigar), rec.flag, l_seq,
+        rec.ref_id2, rec.pos2, rec.tlen) + name + cig + bytes(seq4) + qual + bytes(tags)
+    return struct.pack("<i", len(body)) + body
+
+
+def decode_record(buf: bytes, off: int) -> Tuple[BamRecord, int]:
+    (block_size,) = struct.unpack_from("<i", buf, off)
+    p = off + 4
+    (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, ref_id2, pos2,
+     tlen) = struct.unpack_from("<iiBBHHHiiii", buf, p)
+    p += 32
+    name = buf[p: p + l_rn - 1].decode()
+    p += l_rn
+    cigar = []
+    for _ in range(n_cig):
+        (v,) = struct.unpack_from("<I", buf, p)
+        cigar.append((_CIGAR_OPS[v & 0xF], v >> 4))
+        p += 4
+    seq = bytearray()
+    for i in range(l_seq):
+        b = buf[p + i // 2]
+        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        seq.append(ord(_SEQ_CODE[code]))
+    p += (l_seq + 1) // 2
+    qual_raw = buf[p: p + l_seq]
+    qual = (b"*" if (l_seq == 0 or all(q == 0xFF for q in qual_raw))
+            else bytes(q + 33 for q in qual_raw))
+    p += l_seq
+    tags = []
+    tag_end = off + 4 + block_size
+    while p < tag_end:
+        tag = buf[p: p + 2].decode()
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ in "cC":
+            val = struct.unpack_from("<b" if typ == "c" else "<B", buf, p)[0]
+            p += 1
+            typ = "i"
+        elif typ in "sS":
+            val = struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]
+            p += 2
+            typ = "i"
+        elif typ in "iI":
+            val = struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]
+            p += 4
+            typ = "i"
+        elif typ == "A":
+            val = chr(buf[p])
+            p += 1
+        elif typ == "f":
+            (val,) = struct.unpack_from("<f", buf, p)
+            p += 4
+        elif typ == "Z":
+            z = buf.index(b"\x00", p)
+            val = buf[p:z].decode()
+            p = z + 1
+        elif typ == "B":
+            sub = chr(buf[p])
+            (cnt,) = struct.unpack_from("<I", buf, p + 1)
+            size = dict(c=1, C=1, s=2, S=2, i=4, I=4, f=4)[sub]
+            val = buf[p: p + 5 + cnt * size]
+            p += 5 + cnt * size
+        else:
+            raise ValueError(f"unknown tag type {typ}")
+        tags.append((tag, typ, val))
+    return BamRecord(name, flag, ref_id, pos, mapq, cigar, ref_id2, pos2,
+                     tlen, bytes(seq) if l_seq else b"*", qual, tags), tag_end
+
+
+class BamWriter:
+    def __init__(self, path: str, header_text: str, ref_names: List[str],
+                 ref_lengths: List[int]):
+        self.f = open(path, "wb")
+        self.w = BgzfWriter(self.f)
+        text = header_text.encode()
+        hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        hdr += struct.pack("<i", len(ref_names))
+        for name, ln in zip(ref_names, ref_lengths):
+            nb = name.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(ln))
+        self.w.write(hdr)
+
+    def write(self, rec: BamRecord) -> None:
+        self.w.write(encode_record(rec))
+
+    def close(self) -> None:
+        self.w.close()
+        self.f.close()
+
+
+def read_bam(path: str):
+    """Returns (header_text, ref_names, ref_lengths, records)."""
+    with open(path, "rb") as f:
+        data = b"".join(bgzf_blocks(f))
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    text = data[8: 8 + l_text].decode()
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, p)
+        p += 4
+        names.append(data[p: p + l_name - 1].decode())
+        p += l_name
+        (ln,) = struct.unpack_from("<i", data, p)
+        p += 4
+        lengths.append(ln)
+    records = []
+    while p < len(data):
+        rec, p = decode_record(data, p)
+        records.append(rec)
+    return text, names, lengths, records

@@ -1,0 +1,60 @@
+"""Native (C++) components, loaded via ctypes with on-demand compilation.
+
+The reference ships its runtime as C++ binaries; here the pieces that stay
+host-side and performance-critical are C++ shared libraries:
+  sais.cpp — linear-time suffix array construction (index build)
+Build artifacts land next to the sources; a build failure degrades to the
+pure-numpy fallbacks rather than erroring.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _build_and_load(name: str):
+    src = os.path.join(_DIR, f"{name}.cpp")
+    so = os.path.join(_DIR, f"lib{name}.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return ctypes.CDLL(so)
+
+
+class _Sais:
+    def __init__(self):
+        self._lib = None
+
+    @property
+    def lib(self):
+        if self._lib is None:
+            self._lib = _build_and_load("sais")
+            self._lib.sais_suffix_array.restype = ctypes.c_int
+            self._lib.sais_suffix_array.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+        return self._lib
+
+    def suffix_array(self, codes: np.ndarray) -> np.ndarray:
+        """SA of codes + implicit sentinel (sa[0] == n), like
+        suffix.suffix_array_doubling."""
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        n = codes.shape[0]
+        out = np.empty(n + 1, dtype=np.int64)
+        rc = self.lib.sais_suffix_array(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise RuntimeError(f"sais_suffix_array failed ({rc})")
+        return out
+
+
+sais = _Sais()

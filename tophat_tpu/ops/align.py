@@ -16,6 +16,7 @@ All shapes are static: B reads x (k+1) pieces x H hits/piece candidates ->
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Any
 
@@ -24,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tophat_tpu.ops.search import backward_search
-from tophat_tpu.ops.verify import count_mismatches, gather_windows, same_contig
+from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
+                                   same_contig)
 
 NEG = jnp.int32(2**30)  # sentinel sort key for invalid candidates
 
@@ -66,20 +68,38 @@ def _piece_queries(reads, lengths, num_pieces: int, piece_len: int):
     ok = src >= s[:, :, None]
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
     q = reads[b_idx, jnp.clip(src, 0, L - 1)]
-    return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s
+    return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s, plen
 
 
 def _align_one_strand(fm, reads, lengths, max_mismatches: int,
-                      hits_per_seed: int):
+                      hits_per_seed: int, verify_slots: int = 32):
     """All placements of `reads` on the forward text with <= max_mismatches.
 
-    Returns (cand_pos, cand_mm, cand_valid, truncated) with C = P*H slots."""
+    Candidates are compacted to `verify_slots` per read before mismatch
+    counting, and verification uses the word-packed genome (XOR+popcount
+    over uint32 gathers) instead of per-base gathers — the two changes that
+    make this gather-bound stage run at memory speed on TPU.
+
+    Returns (cand_pos, cand_mm, cand_valid, truncated), (B, verify_slots).
+    """
     B, L = reads.shape
     P = max_mismatches + 1
     piece_len = (L + P - 1) // P + 1
 
-    q, piece_start = _piece_queries(reads, lengths, P, piece_len)
-    lo, hi = backward_search(fm, q.reshape(B * P, piece_len))
+    q, piece_start, plen = _piece_queries(reads, lengths, P, piece_len)
+
+    # seed shortening: an exact piece implies an exact k-mer suffix of that
+    # piece, so searching only the last `span` piece characters preserves
+    # pigeonhole completeness — verification rejects the extra candidates.
+    # span is sized so expected spurious hits stay O(1) per seed.
+    k = getattr(fm, "kmer_k", 0)
+    if k:
+        extend = max(0, math.ceil(math.log(max(4 * fm.n, 4), 4)) - k)
+        span = min(piece_len, k + extend)
+    else:
+        span = piece_len
+    lo, hi = backward_search(fm, q[:, :, piece_len - span:]
+                             .reshape(B * P, span))
     lo = lo.reshape(B, P)
     hi = hi.reshape(B, P)
     truncated = jnp.any((hi - lo) > hits_per_seed, axis=1)
@@ -89,19 +109,29 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     idx = lo[:, :, None] + h[None, None, :]                    # (B, P, H)
     seed_valid = idx < hi[:, :, None]
     hitpos = sa[jnp.clip(idx, 0, sa.shape[0] - 1)]
-    cand = hitpos - piece_start[:, :, None]                    # read start pos
+    # searched substring starts max(0, plen - span) into the piece
+    cand = (hitpos - piece_start[:, :, None]
+            - jnp.maximum(plen - span, 0)[:, :, None])         # read start
     cand = jnp.where(seed_valid, cand, -NEG).reshape(B, P * hits_per_seed)
 
     # dedup identical candidate positions (several pieces exact at same spot)
     cand = jnp.sort(cand, axis=1)
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
-    cand_valid = (cand > -NEG) & ~dup & (cand >= 0)
+    prevalid = (cand > -NEG) & ~dup & (cand >= 0)
+    truncated |= prevalid.sum(axis=1) > verify_slots
 
-    windows = gather_windows(fm.genome, cand, L)
-    mm = count_mismatches(windows, reads[:, None, :], lengths[:, None])
-    cand_valid &= (mm <= max_mismatches) & (cand + lengths[:, None] <= fm.n)
-    return cand, mm, cand_valid, truncated
+    inval = (~prevalid).astype(jnp.int32)
+    _, cand_c, valid_i = jax.lax.sort(
+        (inval, cand, prevalid.astype(jnp.int32)), dimension=1, num_keys=2)
+    cand_c = cand_c[:, :verify_slots]
+    cand_valid = valid_i[:, :verify_slots].astype(bool)
+
+    r_packed, bad_e, len_e = pack_reads(reads, lengths)
+    mm = count_mismatches_packed(fm.packed_genome, fm.n_mask, cand_c,
+                                 r_packed, bad_e, len_e, L)
+    cand_valid &= (mm <= max_mismatches) & (cand_c + lengths[:, None] <= fm.n)
+    return cand_c, mm, cand_valid, truncated
 
 
 @partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",

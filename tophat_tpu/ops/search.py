@@ -33,19 +33,45 @@ def backward_search(fm, queries):
     m = fm.n + 1
     C = jnp.asarray(fm.C)
 
-    def step(carry, c):
+    # k-mer seed table: initialize the interval from the query's last k
+    # characters in one table lookup, skipping the first k scan steps
+    k = getattr(fm, "kmer_k", 0)
+    if k and fm.kmer_lo.shape[0] > 0 and L >= k:
+        lastk = q[:, L - k:]
+        seedable = jnp.all((lastk >= 0) & (lastk <= 3), axis=1)
+        pw = (4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32))
+        v = jnp.sum(jnp.clip(lastk, 0, 3) * pw[None, :], axis=1)
+        klo = jnp.asarray(fm.kmer_lo)[v]
+        khi = jnp.asarray(fm.kmer_hi)[v]
+        lo0 = jnp.where(seedable, klo, 0)
+        hi0 = jnp.where(seedable, khi, m)
+        skip = jnp.where(seedable, k, 0)
+        if L == k:
+            # pure table lookup — no scan at all. Rows that cannot seed
+            # (an N among the k chars, or a query shorter than k) report
+            # empty: an N makes exact match impossible anyway, and callers
+            # arrange not to hit this path with short valid queries.
+            return jnp.where(seedable, lo0, 0), jnp.where(seedable, hi0, 0)
+    else:
+        lo0 = jnp.zeros(B, jnp.int32)
+        hi0 = jnp.full(B, m, jnp.int32)
+        skip = jnp.zeros(B, jnp.int32)
+
+    def step(carry, ct):
+        c, t = ct
         lo, hi = carry
         is_n = c > 3                      # N: unmatchable, kill the interval
-        do = (c >= 0) & ~is_n & (lo < hi)  # pad (-1) or dead: leave untouched
+        do = ((c >= 0) & ~is_n & (lo < hi)
+              & (t >= skip))              # pad (-1)/dead/seeded: untouched
         cc = jnp.clip(c, 0, 3)
         nlo = jnp.where(do, C[cc] + rank(fm, cc, lo), lo)
         nhi = jnp.where(do, C[cc] + rank(fm, cc, hi), hi)
-        nhi = jnp.where(is_n, nlo, nhi)
+        nhi = jnp.where(is_n & (t >= skip), nlo, nhi)
         return (nlo, nhi), None
 
-    lo0 = jnp.zeros(B, jnp.int32)
-    hi0 = jnp.full(B, m, jnp.int32)
-    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), q.T[::-1])  # last base first
+    ts = jnp.arange(L, dtype=jnp.int32)
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0),
+                               (q.T[::-1], ts))  # last base first
     return lo, hi
 
 

@@ -9,6 +9,7 @@ shape (B, C, L) plus elementwise compares on the VPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,6 +35,95 @@ def count_mismatches(window, read, read_len):
     in_read = t < read_len[..., None]
     mm = (window != read) | (window >= 4) | (read >= 4)
     return jnp.sum(mm & in_read, axis=-1).astype(jnp.int32)
+
+
+EVEN = 0x55555555
+
+
+def _pack_even_bits(bits, W):
+    """bool (..., L) -> uint32 (..., W): value of position i lands on bit
+    2*(i%16) of word i//16 (the 'even' lanes of the 2-bit layout)."""
+    B = bits.shape[:-1]
+    L = bits.shape[-1]
+    padded = jnp.concatenate(
+        [bits.astype(jnp.uint32),
+         jnp.zeros(B + (W * 16 - L,), jnp.uint32)], axis=-1)
+    padded = padded.reshape(B + (W, 16))
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
+    return jnp.sum(padded << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def pack_reads(codes, lengths):
+    """Pack read codes for word-wise verification.
+
+    codes: (B, L) int8, -1 padded, N = 4. Returns
+      packed (B, W) uint32 2-bit codes,
+      bad_e  (B, W) even-bit mask of N positions (always mismatch),
+      len_e  (B, W) even-bit mask of in-read positions,
+    with W = ceil(L/16)."""
+    B, L = codes.shape
+    W = (L + 15) // 16
+    c = jnp.clip(codes, 0, 3).astype(jnp.uint32)
+    cp = jnp.concatenate([c, jnp.zeros((B, W * 16 - L), jnp.uint32)], axis=1)
+    cp = cp.reshape(B, W, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(cp << shifts, axis=2, dtype=jnp.uint32)
+    in_len = jnp.arange(L) < lengths[:, None]
+    bad_e = _pack_even_bits(codes >= 4, W)
+    len_e = _pack_even_bits(in_len, W)
+    return packed, bad_e, len_e
+
+
+def _expand_1bit_to_even(x16):
+    """uint32 with data in low 16 bits -> bits spread to even positions."""
+    x = x16 & jnp.uint32(0xFFFF)
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
+def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
+                            len_e, L: int):
+    """Word-packed replacement for gather_windows + count_mismatches:
+    gathers ~L/16 uint32 words per candidate instead of L bytes and counts
+    mismatches with XOR + popcount on the VPU.
+
+    pos: (B, C) candidate window starts. Caller must mask out-of-bounds
+    candidates itself (their counts are garbage)."""
+    packed_genome = jnp.asarray(packed_genome)
+    n_mask = jnp.asarray(n_mask)
+    B, C = pos.shape
+    W = r_packed.shape[1]
+    NW = packed_genome.shape[0]
+
+    word0 = (pos >> 4)[..., None]
+    sh2 = ((pos & 15).astype(jnp.uint32) * 2)[..., None]
+    j = jnp.arange(W + 1, dtype=jnp.int32)
+    raw = packed_genome[jnp.clip(word0 + j, 0, NW - 1)]        # (B, C, W+1)
+    lo = raw[..., :W] >> sh2
+    hi = jnp.where(sh2 > 0, raw[..., 1:] << (32 - sh2), jnp.uint32(0))
+    g = lo | hi                                                 # aligned 2-bit
+
+    x = g ^ r_packed[:, None, :]
+    m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
+
+    # genome N positions -> even-bit mask
+    W1 = (W + 1) // 2 + 1
+    NW1 = n_mask.shape[0]
+    w0n = (pos >> 5)[..., None]
+    shn = (pos & 31).astype(jnp.uint32)[..., None]
+    rawn = n_mask[jnp.clip(w0n + jnp.arange(W1 + 1), 0, NW1 - 1)]
+    lon = rawn[..., :W1] >> shn
+    hin = jnp.where(shn > 0, rawn[..., 1:] << (32 - shn), jnp.uint32(0))
+    n1 = lon | hin                                              # (B, C, W1)
+    wi = jnp.arange(W)
+    halves = n1[..., wi // 2] >> (16 * (wi % 2)).astype(jnp.uint32)
+    gn2 = _expand_1bit_to_even(halves)
+
+    m = (m2 | gn2 | bad_e[:, None, :]) & len_e[:, None, :]
+    return jax.lax.population_count(m).sum(axis=-1).astype(jnp.int32)
 
 
 def same_contig(offsets, pos, read_len):

@@ -34,12 +34,13 @@ def _pair_key(c1: Candidate, c2: Candidate, inner_mean: int) -> tuple:
 
 
 def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
-                        fm=None, known_events=None, log=print):
+                        fm=None, known_events=None, gtf_accept=None,
+                        log=print):
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     mates, events, stats, accepted, fm = pipeline_core(
         genome, [batch1, batch2], params, fm=fm, known_events=known_events,
-        log=log)
+        gtf_accept=gtf_accept, log=log)
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
         f.write(mates[0].prep_stats.info_text())
 
@@ -89,24 +90,51 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
 
     records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[3] & 0xC0))
     lines = []
+    bam_recs = []
+    from tophat_tpu.io.bam import BamRecord
+
     for c, nh, rl, flag, rnext, pnext, batch in records:
         cid, local = genome.global_to_contig(np.int64(c.pos))
+        mate_ref = -1
         if rnext == "=":
-            _, pnext_local = genome.global_to_contig(np.int64(pnext))
+            mcid, pnext_local = genome.global_to_contig(np.int64(pnext))
             pnext = int(pnext_local)
+            mate_ref = int(mcid)
         xs = None
         if c.kind == KIND_JUNCTION:
             xs = "-" if events["antisense"][c.ev] else "+"
+        seq = decode_seq(batch.codes[c.read][:rl]).encode()
+        qual = batch.quals[c.read][:rl] or b"*"
         lines.append(samio.format_record(
             name=batch.names[c.read], flag=flag,
             ref=genome.names[int(cid)], pos0=int(local),
             mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl),
-            seq=decode_seq(batch.codes[c.read][:rl]).encode(),
-            qual=batch.quals[c.read][:rl] or b"*", nm=c.nm(), nh=nh,
+            seq=seq, qual=qual, nm=c.nm(), nh=nh,
             xs_strand=xs, rnext=rnext, pnext0=pnext))
+        tags = [("NM", "i", c.nm())]
+        if xs is not None:
+            tags.append(("XS", "A", xs))
+        tags.append(("NH", "i", nh))
+        out_seq = (samio.revcomp_ascii(seq)
+                   if flag & samio.FLAG_REVERSE else seq)
+        out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
+        bam_recs.append(BamRecord(
+            batch.names[c.read], flag, int(cid), int(local),
+            samio.mapq_for_nh(nh), c.cigar(rl), mate_ref,
+            pnext if rnext == "=" else -1, 0, out_seq, out_qual, tags))
     with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
         for ln in lines:
             f.write(ln + "\n")
+
+    from tophat_tpu.io.bam import BamWriter
+
+    header = "\n".join(samio.header_lines(genome)) + "\n"
+    lens = [int(x) for x in genome.contig_lengths()]
+    w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
+                  genome.names, lens)
+    for r in bam_recs:
+        w.write(r)
+    w.close()
 
     _write_beds(out_dir, genome, events, final_stats)
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:

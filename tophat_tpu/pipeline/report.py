@@ -343,6 +343,7 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
         last_of_read[c.read] = i
 
     lines = []
+    bam_recs = []
     for i, (c, nh, rl) in enumerate(records):
         cid, local = genome.global_to_contig(np.int64(c.pos))
         flag = samio.FLAG_REVERSE if c.strand else 0
@@ -352,11 +353,14 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
             nref, npos = next_of[i]
             cc = "=" if nref == genome.names[int(cid)] else nref
             extra = [f"CC:Z:{cc}", f"CP:i:{npos + 1}"]
-        lines.append(_format_aln(genome, batch, c, nh, rl, int(cid),
-                                 int(local), flag, events, extra=extra))
+        line, brec = _format_aln(genome, batch, c, nh, rl, int(cid),
+                                 int(local), flag, events, extra=extra)
+        lines.append(line)
+        bam_recs.append(brec)
     with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
         for ln in lines:
             f.write(ln + "\n")
+    write_bam_outputs(out_dir, genome, batch, bam_recs, selected)
 
     _write_beds(out_dir, genome, events, final_stats)
 
@@ -375,18 +379,62 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
 
 
 def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
-                local: int, flag: int, events, extra=None) -> str:
+                local: int, flag: int, events, extra=None):
     from tophat_tpu.index.fasta import decode_seq
+    from tophat_tpu.io.bam import BamRecord
 
     seq = decode_seq(batch.codes[c.read][:rl]).encode()
     qual = batch.quals[c.read][:rl] or b"*"
     xs = None
     if c.kind == KIND_JUNCTION:
         xs = "-" if events["antisense"][c.ev] else "+"
-    return samio.format_record(
+    line = samio.format_record(
         name=batch.names[c.read], flag=flag, ref=genome.names[cid],
         pos0=local, mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl), seq=seq,
         qual=qual, nm=c.nm(), nh=nh, xs_strand=xs, extra=extra)
+    tags = [("NM", "i", c.nm())]
+    if xs is not None:
+        tags.append(("XS", "A", xs))
+    tags.append(("NH", "i", nh))
+    if extra:
+        for e in extra:
+            tg, ty, val = e.split(":", 2)
+            tags.append((tg, ty, int(val) if ty == "i" else val))
+    out_seq = samio.revcomp_ascii(seq) if flag & samio.FLAG_REVERSE else seq
+    out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
+    brec = BamRecord(batch.names[c.read], flag, cid, local,
+                     samio.mapq_for_nh(nh), c.cigar(rl), -1, -1, 0,
+                     out_seq, out_qual, tags)
+    return line, brec
+
+
+def write_bam_outputs(out_dir, genome, batch, bam_recs, selected):
+    """accepted_hits.bam (coordinate-sorted, same order as the SAM) and
+    unmapped.bam (reference output contract: SURVEY.md appendix)."""
+    from tophat_tpu.index.fasta import decode_seq
+    from tophat_tpu.io.bam import BamRecord, BamWriter
+
+    header = "\n".join(samio.header_lines(genome)) + "\n"
+    lens = [int(x) for x in genome.contig_lengths()]
+    w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
+                  genome.names, lens)
+    for r in bam_recs:
+        w.write(r)
+    w.close()
+
+    mapped = {r for r, clist in selected.items() if clist}
+    w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
+                  "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
+                  genome.names, lens)
+    for r in range(batch.size):
+        if r in mapped:
+            continue
+        rl = int(batch.lengths[r])
+        seq = decode_seq(batch.codes[r][:rl]).encode()
+        w.write(BamRecord(batch.names[r], samio.FLAG_UNMAPPED, -1, -1, 0,
+                          [], -1, -1, 0, seq, batch.quals[r][:rl] or b"*",
+                          []))
+    w.close()
 
 
 def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats]):

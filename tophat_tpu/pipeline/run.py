@@ -106,7 +106,7 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
 def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
                   fm: Optional[FMIndex] = None,
                   known_events: Optional[Dict[str, np.ndarray]] = None,
-                  log=print):
+                  gtf_accept=None, log=print):
     """Run prep/map/discover/realign/filter for 1 (single) or 2 (paired)
     read batches. Returns (mates, events, stats, accepted, fm)."""
     if fm is None:
@@ -155,7 +155,7 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
                 prev.min_mm = min(prev.min_mm, st.min_mm)
             else:
                 stats[e] = st
-    filter_junctions(events, stats, params)
+    filter_junctions(events, stats, params, gtf_accept=gtf_accept)
     accepted = {e for e, st in stats.items() if st.accepted}
     return mates, events, stats, accepted, fm
 
@@ -163,13 +163,14 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
 def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
                  out_dir: str, fm: Optional[FMIndex] = None,
                  known_events: Optional[Dict[str, np.ndarray]] = None,
-                 log=print):
+                 gtf_accept=None, log=print):
     from tophat_tpu.pipeline.report import write_outputs
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     mates, events, stats, accepted, fm = pipeline_core(
-        genome, [batch], params, fm=fm, known_events=known_events, log=log)
+        genome, [batch], params, fm=fm, known_events=known_events,
+        gtf_accept=gtf_accept, log=log)
     m = mates[0]
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
         f.write(m.prep_stats.info_text())
