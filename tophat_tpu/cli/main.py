@@ -152,6 +152,33 @@ def load_known_events(genome, ins_path, del_path, juncs_path):
 
 
 def main(argv=None):
+    import sys as _sys
+
+    argv = list(argv) if argv is not None else _sys.argv[1:]
+    # -R/--resume <dir>: replay the original invocation recorded in the
+    # stage journal (reference: doResume, src/tophat.py:240 — re-parses the
+    # old argv from run.log and skips completed stages)
+    if argv and argv[0] in ("-R", "--resume"):
+        if len(argv) < 2:
+            raise SystemExit("Error: -R/--resume requires the output dir")
+        from tophat_tpu.utils.log import get_resume_stage
+
+        out_dir = argv[1]
+        run_log = os.path.join(out_dir, "logs", "run.log")
+        if not os.path.exists(run_log):
+            raise SystemExit(f"Error: no run.log under {out_dir!r} to resume")
+        orig = None
+        last = get_resume_stage(out_dir)
+        with open(run_log) as f:
+            for line in f:
+                if line.startswith("#>start: tophat_tpu "):
+                    orig = line[len("#>start: tophat_tpu "):].strip().split()
+        if last == "alldone":
+            print(f"[resume] {out_dir}: run already complete", file=sys.stderr)
+            return 0
+        print(f"[resume] re-running from stage {last!r}", file=sys.stderr)
+        return main(orig)
+
     args = build_parser().parse_args(argv)
 
     from tophat_tpu.index.fasta import read_fasta

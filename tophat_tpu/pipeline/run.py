@@ -120,6 +120,17 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
     tables = [discover_events(fm, offsets, m.gs, params,
                               seg_tables=m.seg_tables, log=log)
               for m in mates]
+    if params.coverage_search:
+        from tophat_tpu.pipeline.coverage import coverage_search_events
+
+        for m in mates:
+            if m.seg_tables is not None:
+                cov_ev = coverage_search_events(fm, genome, m.gs,
+                                                m.seg_tables, params)
+                if len(cov_ev["left"]):
+                    log(f"coverage search: {len(cov_ev['left'])} "
+                        f"island-end pairing candidates")
+                tables.append(cov_ev)
     if known_events is not None:
         tables.append(known_events)
     events = merge_events(*tables)
