@@ -73,6 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coverage-search", action="store_true")
     p.add_argument("--bowtie1", action="store_true",
                    help="accepted for compatibility; no external aligner")
+    p.add_argument("--fusion-search", action="store_true")
+    p.add_argument("--fusion-anchor-length", type=int, default=20)
+    p.add_argument("--fusion-min-dist", type=int, default=10000000)
+    p.add_argument("--fusion-read-mismatches", type=int, default=2)
+    p.add_argument("--fusion-do-not-resolve-conflicts", action="store_true",
+                   help="accepted for compatibility")
+    p.add_argument("--keep-tmp", action="store_true",
+                   help="accepted for compatibility")
+    p.add_argument("--keep-fasta-order", action="store_true",
+                   help="accepted for compatibility (contig order always "
+                        "follows the FASTA)")
     p.add_argument("--no-sort-bam", action="store_true")
     p.add_argument("--no-convert-bam", action="store_true")
     p.add_argument("-p", "--num-threads", type=int, default=1,
@@ -207,6 +218,10 @@ def main(argv=None):
         quals_scale=("phred64" if args.phred64_quals
                      else "solexa" if args.solexa_quals else "phred33"),
         coverage_search=not args.no_coverage_search,
+        fusion_search=args.fusion_search,
+        fusion_anchor_length=args.fusion_anchor_length,
+        fusion_min_dist=args.fusion_min_dist,
+        fusion_read_mismatches=args.fusion_read_mismatches,
     )
 
     out_dir = args.output_dir

@@ -49,6 +49,7 @@ WINDOW_MM = 2     # split-point mismatch budget (segment_juncs.cpp:2265)
 KIND_JUNCTION = 0
 KIND_DELETION = 1
 KIND_INSERTION = 2
+KIND_FUSION = 3   # left on one locus, right on another (contig/strand/far)
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +228,109 @@ def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
     left = dpos - 1
     right = apos + 2
     return left, right, rev, valid
+
+
+def _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
+                             offsets, fusion_min_dist, doff):
+    R, S, H = seg_pos.shape
+    offsets = jnp.asarray(offsets).astype(jnp.int32)
+    pl = seg_pos[:, :, :, None]
+    vl = seg_valid[:, :, :, None]
+    pr = jnp.roll(seg_pos, -doff, axis=1)[:, :, None, :]
+    vr = jnp.roll(seg_valid, -doff, axis=1)[:, :, None, :]
+    j = jnp.arange(S, dtype=jnp.int32)[None, :, None, None]
+    has_partner = (j + doff) < nseg[:, None, None, None]
+
+    llen = (cuts[:, 1:] - cuts[:, :-1])[:, :, None, None]
+    left_end = pl + llen
+    cid_l = jnp.searchsorted(offsets, pl, side="right")
+    cid_r = jnp.searchsorted(offsets, pr, side="right")
+    dist = pr - left_end
+    fusionish = (cid_l != cid_r) | (jnp.abs(dist) >= fusion_min_dist)
+    ok = vl & vr & has_partner & fusionish
+
+    rowi = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None, None, None], ok.shape)
+    sup_start = (cuts[:, 1:])[:, :, None, None] - LOOK_BP
+    end_cut = jnp.concatenate(
+        [cuts[:, doff:]] +
+        ([jnp.repeat(cuts[:, -1:], doff - 1, axis=1)] if doff > 1 else []),
+        axis=1)
+    sup_end = end_cut[:, :, None, None] + LOOK_BP
+
+    flat = lambda a: jnp.broadcast_to(a, ok.shape).reshape(-1)
+    return PairWindows(
+        row=flat(rowi), gl=flat(left_end), gr=flat(pr),
+        sup_start=flat(sup_start), sup_len=flat(sup_end - sup_start),
+        valid=ok.reshape(-1))
+
+
+def build_fusion_windows(seg_pos, seg_valid, cuts, nseg, lengths, offsets,
+                         fusion_min_dist: int):
+    """Candidate fusion windows: same-row segment-hit pairs (adjacent, or
+    skipping one unmapped break-spanning segment) whose placements are on
+    different contigs or >= fusion_min_dist apart on the same contig
+    (reference: detect_fusion gating, segment_juncs.cpp:3288). FF
+    orientation only; FR/RF require cross-strand chaining (later round)."""
+    drs = _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
+                                   offsets, fusion_min_dist, 1)
+    rrs = _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
+                                   offsets, fusion_min_dist, 2)
+    cat = lambda a, b: jnp.concatenate([a, b])
+    win = PairWindows(
+        row=cat(drs.row, rrs.row), gl=cat(drs.gl, rrs.gl),
+        gr=cat(drs.gr, rrs.gr),
+        sup_start=cat(drs.sup_start, rrs.sup_start),
+        sup_len=cat(drs.sup_len, rrs.sup_len),
+        valid=cat(drs.valid, rrs.valid))
+    rl = lengths[win.row]
+    s0 = jnp.clip(win.sup_start, 0, rl)
+    s1 = jnp.clip(win.sup_start + win.sup_len, 0, rl)
+    return dataclasses.replace(win, sup_start=s0, sup_len=s1 - s0)
+
+
+@partial(jax.jit, static_argnames=("sup_max",))
+def scan_fusion_windows(genome, readsg, win: PairWindows, sup_max: int):
+    """Best breakpoint per fusion window: the split minimizing support-read
+    mismatches (no splice motif requirement — reference detect_fusion scans
+    all split points, segment_juncs.cpp:2629). Returns per-window
+    (left, right, best_mm, valid)."""
+    genome = jnp.asarray(genome)
+    n = genome.shape[0]
+    W = win.row.shape[0]
+    t = jnp.arange(sup_max, dtype=jnp.int32)[None, :]
+
+    sup_idx = win.sup_start[:, None] + t
+    in_sup = t < win.sup_len[:, None]
+    support = readsg[win.row[:, None], jnp.clip(sup_idx, 0,
+                                                readsg.shape[1] - 1)]
+    support = jnp.where(in_sup, support, jnp.int8(-1))
+
+    wl = win.gl[:, None] - LOOK_BP
+    wr = win.gr[:, None] + LOOK_BP
+
+    def mk(idx):
+        g = genome[jnp.clip(idx, 0, n - 1)]
+        return jnp.where((idx >= 0) & (idx < n), g, jnp.int8(5))
+
+    gl_codes = mk(wl + t)
+    pref_mm = jnp.cumsum(
+        ((gl_codes != support) | (gl_codes >= 4) | (support >= 4)) & in_sup,
+        axis=1)
+    gr_codes = mk(wr - win.sup_len[:, None] + t)
+    suf_mm = jnp.cumsum(
+        (((gr_codes != support) | (gr_codes >= 4) | (support >= 4))
+         & in_sup)[:, ::-1], axis=1)[:, ::-1]
+    pref_before = jnp.concatenate(
+        [jnp.zeros((W, 1), pref_mm.dtype), pref_mm[:, :-1]], axis=1)
+
+    errs = jnp.where(in_sup & (t >= 1), pref_before + suf_mm, 32767)
+    best = jnp.min(errs, axis=1).astype(jnp.int32)
+    best_t = jnp.argmin(errs, axis=1).astype(jnp.int32)
+    left = wl[:, 0] + best_t - 1
+    right = wr[:, 0] - (win.sup_len - best_t)
+    valid = win.valid & (best <= WINDOW_MM)
+    return left, right, best, valid
 
 
 # ---------------------------------------------------------------------------

@@ -15,14 +15,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from tophat_tpu.ops.events import MAX_INS
-from tophat_tpu.ops.splice import (KIND_DELETION, KIND_INSERTION,
-                                   KIND_JUNCTION, build_indel_pairs,
+from tophat_tpu.ops.splice import (KIND_DELETION, KIND_FUSION,
+                                   KIND_INSERTION, KIND_JUNCTION,
+                                   build_fusion_windows, build_indel_pairs,
                                    build_pair_windows, compact_windows,
-                                   scan_indel_pairs, scan_windows)
+                                   scan_fusion_windows, scan_indel_pairs,
+                                   scan_windows)
 from tophat_tpu.pipeline.segment import GenomeSpaceReads, map_segments
 
 MAX_WINDOWS = 32768
 MAX_INDEL_PAIRS = 16384
+LOOK_BP_SUP = 8  # fusion support half-window (= ops.splice.LOOK_BP)
 
 
 def empty_events() -> Dict[str, np.ndarray]:
@@ -114,7 +117,37 @@ def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
                       antisense=np.zeros(len(kind), bool),
                       ins_len=ins_len.astype(np.int8), ins_seq=ins_seq)
 
-    ev = merge_events(juncs, indels)
+    # --- fusions (FF pairs; reference: detect_fusion path) -----------------
+    fusions = empty_events()
+    if params.fusion_search:
+        fwin = build_fusion_windows(
+            jnp.asarray(seg_pos), jnp.asarray(seg_valid), cuts, nseg,
+            lengths, offsets, params.fusion_min_dist)
+        fwin, _ = compact_windows(fwin, MAX_WINDOWS)
+        fl, fr, fmm, fvalid = scan_fusion_windows(fm.genome, readsg, fwin,
+                                                  sup_max)
+        fvalid = np.asarray(fvalid)
+        fl = np.asarray(fl)[fvalid]
+        fr = np.asarray(fr)[fvalid]
+        fusions = dict(left=fl.astype(np.int32), right=fr.astype(np.int32),
+                       kind=np.full(len(fl), KIND_FUSION, np.int8),
+                       antisense=np.zeros(len(fl), bool),
+                       ins_len=np.zeros(len(fl), np.int8),
+                       ins_seq=np.full((len(fl), MAX_INS), -1, np.int8))
+
+    ev = merge_events(juncs, indels, fusions)
+
+    # contig-consistency guard: junctions/deletions must not span contig
+    # boundaries of the concatenated genome; fusions are exempt
+    if len(ev["left"]):
+        offs = np.asarray(offsets, np.int64)
+        cid_l = np.searchsorted(offs, ev["left"], side="right")
+        cid_r = np.searchsorted(offs, ev["right"], side="right")
+        keep = ((ev["kind"] == KIND_FUSION)
+                | (ev["kind"] == KIND_INSERTION)
+                | ((cid_l == cid_r) & (ev["left"] < ev["right"])))
+        ev = {k: v[keep] for k, v in ev.items()}
+
     if log:
         nj = int((ev["kind"] == KIND_JUNCTION).sum())
         nd = int((ev["kind"] == KIND_DELETION).sum())
@@ -122,4 +155,7 @@ def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
         log(f"Found {nj} potential split-segment junctions")
         log(f"Found {nd} potential small deletions")
         log(f"Found {ni} potential small insertions")
+        if params.fusion_search:
+            nf = int((ev["kind"] == KIND_FUSION).sum())
+            log(f"Found {nf} potential fusions")
     return ev

@@ -50,7 +50,10 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
     for mi, m in enumerate(mates):
         sel = {}
         for r, clist in m.cands.items():
-            usable = [c for c in clist if c.ev < 0 or c.ev in accepted]
+            usable = [c for c in clist
+                      if (all(e in accepted for e in c.chain_events)
+                          if c.kind == -2
+                          else (c.ev < 0 or c.ev in accepted))]
             sel[r] = select_best(usable, params.max_multihits, rng)
         selected.append(sel)
 

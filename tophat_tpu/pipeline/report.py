@@ -26,7 +26,8 @@ import numpy as np
 
 from tophat_tpu.index.fasta import Genome
 from tophat_tpu.io import sam as samio
-from tophat_tpu.ops.splice import KIND_DELETION, KIND_INSERTION, KIND_JUNCTION
+from tophat_tpu.ops.splice import (KIND_DELETION, KIND_FUSION,
+                                   KIND_INSERTION, KIND_JUNCTION)
 
 MISMATCH_PENALTY = 6   # bowtie2 mp max (reference: common.h bowtie2_* defaults)
 GAP_OPEN = 5
@@ -35,19 +36,33 @@ GAP_EXTEND = 3
 
 @dataclasses.dataclass
 class Candidate:
-    """One candidate alignment of one read."""
+    """One candidate alignment of one read.
+
+    kind -1 = contiguous; -2 = multi-event chain (chain_ops set); else the
+    single crossed event's kind."""
 
     read: int
     pos: int            # global 0-based leftmost coordinate
     strand: int         # 0 fwd, 1 rev
     mm: int             # base mismatches
-    kind: int           # -1 contiguous, else event kind
+    kind: int           # -1 contiguous, -2 chain, else event kind
     ev: int             # event index or -1
     t: int              # prefix length (split point) for event alignments
     gap: int = 0        # I/D length
+    chain_ops: tuple = ()    # chain: (("M", len) | ("EV", ev, kind, gap))...
+    chain_events: tuple = ()
+    fdir: str = "ff"    # fusion direction (kind == KIND_FUSION)
+    fpos2: int = -1     # fusion partner coordinate for table-free fusions
 
     @property
     def edit_dist(self) -> int:
+        if self.kind == -2:
+            e = self.mm
+            for op in self.chain_ops:
+                if op[0] == "EV" and op[2] in (KIND_DELETION,
+                                               KIND_INSERTION):
+                    e += op[3]
+            return e
         if self.kind in (KIND_DELETION, KIND_INSERTION):
             return self.mm + self.gap
         return self.mm
@@ -58,10 +73,39 @@ class Candidate:
         prefers contiguous over gapped/spliced alignments — matches the gold
         outputs where 24M/NM:3 beats 5M2D19M/NM:3 (v1.1.4 ordering; the
         2.1.2 bowtie2-score ranking tophat_reports.cpp:86 orders these the
-        other way)."""
-        return -(self.edit_dist * 4) - (0 if self.kind == -1 else 1)
+        other way). Fusions rank below same-edit spliced alignments."""
+        if self.kind == -1:
+            pen = 0
+        elif self.kind == KIND_FUSION or (
+                self.kind == -2 and any(op[0] == "EV" and op[2] == KIND_FUSION
+                                        for op in self.chain_ops)):
+            pen = 2
+        else:
+            pen = 1
+        return -(self.edit_dist * 4) - pen
 
     def cigar(self, read_len: int) -> List[Tuple[str, int]]:
+        if self.kind == -2:
+            out: List[Tuple[str, int]] = []
+            consumed = 0
+            for op in self.chain_ops:
+                if op[0] == "M":
+                    out.append(("M", op[1]))
+                    consumed += op[1]
+                else:
+                    _, ev, kind, gap = op
+                    if kind == KIND_JUNCTION:
+                        out.append(("N", gap))
+                    elif kind == KIND_DELETION:
+                        out.append(("D", gap))
+                    elif kind == KIND_INSERTION:
+                        out.append(("I", gap))
+                        consumed += gap
+                    elif kind == KIND_FUSION:
+                        # left piece only; fused remainder soft-clipped
+                        out.append(("S", read_len - consumed))
+                        return out
+            return out
         if self.kind == KIND_JUNCTION:
             return [("M", self.t), ("N", self.gap), ("M", read_len - self.t)]
         if self.kind == KIND_DELETION:
@@ -69,9 +113,18 @@ class Candidate:
         if self.kind == KIND_INSERTION:
             return [("M", self.t), ("I", self.gap),
                     ("M", read_len - self.t - self.gap)]
+        if self.kind == KIND_FUSION:
+            # one piece aligned, the fused other piece soft-clipped and
+            # described by the XF tag (reference represents the whole
+            # alignment with fusion cigar opcodes, bwt_map.h:36-68)
+            if self.fdir == "rf":
+                return [("S", self.t), ("M", read_len - self.t)]
+            return [("M", self.t), ("S", read_len - self.t)]
         return [("M", read_len)]
 
     def nm(self) -> int:
+        if self.kind == -2:
+            return self.edit_dist
         return self.mm + (self.gap if self.kind in (KIND_DELETION,
                                                     KIND_INSERTION) else 0)
 
@@ -120,8 +173,8 @@ def _per_segment_mm_ok(genome, row_codes, cuts_row, rl, seg_budget,
 
 
 def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
-                       params, stitched=None,
-                       genome_codes=None) -> Dict[int, List[Candidate]]:
+                       params, stitched=None, genome_codes=None,
+                       chain_cands=None) -> Dict[int, List[Candidate]]:
     """Merge contiguous alignments, stitched-chain alignments and event
     realignments into per-read candidate lists (the long_spanning_reads
     output analog)."""
@@ -169,12 +222,18 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
             kind = int(ev_kind[e])
             if kind == KIND_INSERTION:
                 gap = int(ev_ilen[e])
+            elif kind == KIND_FUSION:
+                gap = 0
             else:
                 gap = int(ev_right[e]) - int(ev_left[e]) - 1
                 if gap <= 0:
                     continue
             strand = int(gs.strand[row])
             rl = int(gs.lengths[row])
+            if kind == KIND_FUSION:
+                fa = params.fusion_anchor_length
+                if t < fa or rl - t < fa:
+                    continue
             if kind in (KIND_JUNCTION, KIND_DELETION):
                 ganchor_l = t
                 ganchor_r = rl - t
@@ -193,6 +252,30 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 read=read, pos=int(ev_left[e]) - t + 1,
                 strand=strand, mm=int(spl_mm[row, e]),
                 kind=kind, ev=int(e), t=t, gap=gap))
+
+    # multi-event chains (pipeline/chains.py)
+    for cc in (chain_cands or []):
+        if any(op[0] == "EV" and op[2] == KIND_FUSION
+               for op in cc.ops):
+            # fusion anchor: enough aligned bases on both sides of the break
+            pre = post = 0
+            seen_fusion = False
+            for op in cc.ops:
+                n = op[1] if op[0] == "M" else (
+                    op[3] if op[2] == KIND_INSERTION else 0)
+                if op[0] == "EV" and op[2] == KIND_FUSION:
+                    seen_fusion = True
+                elif seen_fusion:
+                    post += n
+                else:
+                    pre += n
+            if (pre < params.fusion_anchor_length
+                    or post < params.fusion_anchor_length):
+                continue
+        cands.setdefault(cc.read, []).append(Candidate(
+            read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,
+            kind=-2, ev=-1, t=0, chain_ops=tuple(cc.ops),
+            chain_events=tuple(cc.events)))
     return cands
 
 
@@ -217,6 +300,17 @@ def accumulate_event_stats(cands: Dict[int, List[Candidate]], events,
     stats: Dict[int, EventStats] = {}
     for clist in cands.values():
         for c in clist:
+            if c.kind == -2:
+                for i, op in enumerate(c.chain_ops):
+                    if op[0] != "EV":
+                        continue
+                    pre = (c.chain_ops[i - 1][1]
+                           if i > 0 and c.chain_ops[i - 1][0] == "M" else 0)
+                    post = (c.chain_ops[i + 1][1]
+                            if i + 1 < len(c.chain_ops)
+                            and c.chain_ops[i + 1][0] == "M" else 0)
+                    stats.setdefault(op[1], EventStats()).add(pre, post, c.mm)
+                continue
             if c.ev < 0:
                 continue
             st = stats.setdefault(c.ev, EventStats())
@@ -288,8 +382,7 @@ def select_best(cands: List[Candidate], max_multihits: int,
     seen = set()
     uniq = []
     for c in sorted(kept, key=lambda c: (c.strand, c.pos, c.kind, c.t)):
-        key = (c.strand, c.pos, tuple(c.cigar(0)[:0]), c.kind, c.ev, c.t)
-        pkey = (c.strand, c.pos, c.kind, c.ev, c.t)
+        pkey = (c.strand, c.pos, c.kind, c.ev, c.t, c.chain_ops)
         if pkey not in seen:
             seen.add(pkey)
             uniq.append(c)
@@ -324,6 +417,17 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
                 right_anchor = rl - c.t - (c.gap if events["kind"][c.ev] ==
                                            KIND_INSERTION else 0)
                 st.add(c.t, right_anchor, c.mm)
+            elif c.kind == -2:
+                for i, op in enumerate(c.chain_ops):
+                    if op[0] != "EV":
+                        continue
+                    pre = (c.chain_ops[i - 1][1]
+                           if i > 0 and c.chain_ops[i - 1][0] == "M" else 0)
+                    post = (c.chain_ops[i + 1][1]
+                            if i + 1 < len(c.chain_ops)
+                            and c.chain_ops[i + 1][0] == "M" else 0)
+                    final_stats.setdefault(op[1], EventStats()).add(
+                        pre, post, c.mm)
             records.append((c, nh, rl))
 
     # coordinate sort: (global pos, read index, split point for same-pos ties)
@@ -362,7 +466,8 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
             f.write(ln + "\n")
     write_bam_outputs(out_dir, genome, batch, bam_recs, selected)
 
-    _write_beds(out_dir, genome, events, final_stats)
+    _write_beds(out_dir, genome, events, final_stats,
+                fusion_search=params.fusion_search)
 
     total = batch.size
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
@@ -386,8 +491,33 @@ def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
     seq = decode_seq(batch.codes[c.read][:rl]).encode()
     qual = batch.quals[c.read][:rl] or b"*"
     xs = None
+    fusion_ev = None
     if c.kind == KIND_JUNCTION:
         xs = "-" if events["antisense"][c.ev] else "+"
+    elif c.kind == KIND_FUSION:
+        fusion_ev = c.ev
+    elif c.kind == -2:
+        for op in c.chain_ops:
+            if op[0] != "EV":
+                continue
+            if op[2] == KIND_JUNCTION and xs is None:
+                xs = "-" if events["antisense"][op[1]] else "+"
+            if op[2] == KIND_FUSION and fusion_ev is None:
+                fusion_ev = op[1]
+    if fusion_ev is not None or (c.kind == KIND_FUSION and c.fpos2 >= 0):
+        if fusion_ev is not None:
+            pos2 = int(events["right"][fusion_ev])
+            pos1 = int(events["left"][fusion_ev])
+            fdir = "ff"
+        else:
+            pos2 = c.fpos2
+            pos1 = c.pos + (c.t - 1 if c.fdir != "rf" else 0)
+            fdir = c.fdir
+        rcid, rlocal = genome.global_to_contig(np.int64(pos2))
+        xf = (f"XF:Z:{genome.names[cid]}-{genome.names[int(rcid)]} "
+              f"{pos1 - int(genome.offsets[cid]) + 1} "
+              f"{int(rlocal) + 1} {fdir}")
+        extra = (extra or []) + [xf]
     line = samio.format_record(
         name=batch.names[c.read], flag=flag, ref=genome.names[cid],
         pos0=local, mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl), seq=seq,
@@ -437,8 +567,9 @@ def write_bam_outputs(out_dir, genome, batch, bam_recs, selected):
     w.close()
 
 
-def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats]):
-    juncs, dels, ins = [], [], []
+def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats],
+                fusion_search: bool = False):
+    juncs, dels, ins, fus = [], [], [], []
     for e, st in sorted(stats.items(),
                         key=lambda kv: (int(events["left"][kv[0]]),
                                         int(events["right"][kv[0]]))):
@@ -453,10 +584,22 @@ def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats]):
                           bool(events["antisense"][e])))
         elif kind == KIND_DELETION:
             dels.append((name, left - off, right - off, st))
-        else:
+        elif kind == KIND_INSERTION:
             seq = events["ins_seq"][e]
             s = "".join("ACGTN"[b] for b in seq if b >= 0)
             ins.append((name, left - off, st, s))
+        elif kind == KIND_FUSION:
+            rcid, r_local = genome.global_to_contig(np.int64(right))
+            fus.append((name, genome.names[int(rcid)], left - off,
+                        int(r_local), st))
+
+    if fusion_search:
+        # leading columns of the reference format (fusions.cpp
+        # print_fusions: ref1-ref2, left, right, dir, support, ...)
+        with open(os.path.join(out_dir, "fusions.out"), "w") as f:
+            for n1, n2, l, r, st in fus:
+                f.write(f"{n1}-{n2}\t{l}\t{r}\tff\t{st.supporting}"
+                        f"\t0\t0\t0\t0\t0\t0.000000\n")
 
     with open(os.path.join(out_dir, "junctions.bed"), "w") as f:
         f.write('track name=junctions description="TopHat junctions"\n')

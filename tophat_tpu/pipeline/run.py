@@ -148,9 +148,51 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
             spl = (np.zeros((m.gs.rows, 0), np.int32),
                    np.zeros((m.gs.rows, 0), np.int32),
                    np.zeros((m.gs.rows, 0), bool))
+        chain_cands = None
+        if params.fusion_search and m.gs.rows and len(events["left"]):
+            from tophat_tpu.pipeline.chains import chain_stitch
+
+            chain_cands = chain_stitch(fm, m.gs, m.seg_tables, events,
+                                       params)
+            if chain_cands:
+                log(f"chain stitch: {len(chain_cands)} multi-event chains")
         m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
                                      stitched=m.stitched,
-                                     genome_codes=np.asarray(fm.genome))
+                                     genome_codes=np.asarray(fm.genome),
+                                     chain_cands=chain_cands)
+
+        # cross-strand (FR/RF) fusion candidates
+        if params.fusion_search and m.gs.rows:
+            from tophat_tpu.ops.fusion_fr import find_fr_fusions
+            from tophat_tpu.ops.splice import KIND_FUSION
+            from tophat_tpu.pipeline.report import Candidate
+
+            nfr = 0
+            for res in find_fr_fusions(fm, m.gs, m.seg_tables, None, params):
+                for rr, t, pa, pb, mm2 in zip(res["read"], res["t"],
+                                              res["posA"], res["posB"],
+                                              res["mm"]):
+                    read = int(m.gs.read_idx[int(rr)])
+                    rl = int(m.gs.lengths[int(rr)])
+                    t = int(t)
+                    fa = params.fusion_anchor_length
+                    if t < fa or rl - t < fa:
+                        continue
+                    if res["pattern"] == "fr":
+                        pos = int(pa) - t + 1
+                    else:
+                        pos = int(pa)
+                    c = Candidate(read=read, pos=pos, strand=0, mm=int(mm2),
+                                  kind=KIND_FUSION, ev=-1, t=t,
+                                  fdir=res["pattern"], fpos2=int(pb))
+                    lst = m.cands.setdefault(read, [])
+                    if not any(x.kind == KIND_FUSION and x.pos == c.pos
+                               and x.t == c.t and x.fdir == c.fdir
+                               for x in lst):
+                        lst.append(c)
+                        nfr += 1
+            if nfr:
+                log(f"cross-strand fusion candidates: {nfr}")
 
     # pass 1: stats + acceptance over all mates' candidates
     stats: Dict[int, object] = {}
@@ -189,7 +231,9 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
     rng = np.random.default_rng(1)
     selected = {}
     for r, clist in m.cands.items():
-        usable = [c for c in clist if c.ev < 0 or c.ev in accepted]
+        usable = [c for c in clist
+                  if (all(e in accepted for e in c.chain_events)
+                      if c.kind == -2 else (c.ev < 0 or c.ev in accepted))]
         selected[r] = select_best(usable, params.max_multihits, rng)
 
     records = write_outputs(out_dir, genome, params, batch, selected, events)
