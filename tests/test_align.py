@@ -79,3 +79,16 @@ def test_align_n_read(rng):
     got = [int(p) for p, v in zip(np.asarray(al1.pos[0]),
                                   np.asarray(al1.valid[0])) if v]
     assert 50 in got
+
+
+def test_align_with_sampled_sa(rng):
+    codes = rng.integers(0, 4, 800).astype(np.int8)
+    genome = genome_from_seqs([("c", "".join("ACGT"[c] for c in codes))])
+    fm_full = build_fm_index(genome)
+    fm_samp = build_fm_index(genome, sa_rate=8)
+    seqs = [codes[s:s + 30].copy() for s in rng.integers(0, 770, 24)]
+    rf, rr, lens = pad_reads(seqs)
+    a = align_reads(fm_full, rf, rr, lens, genome.offsets, max_mismatches=2)
+    b = align_reads(fm_samp, rf, rr, lens, genome.offsets, max_mismatches=2)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))

@@ -138,3 +138,17 @@ def test_kmer_seed_table_equivalence(rng):
     nonempty = hi0 > lo0
     np.testing.assert_array_equal(lo0[nonempty], lo6[nonempty])
     np.testing.assert_array_equal(hi0[nonempty], hi6[nonempty])
+
+
+def test_sampled_sa_equivalence(rng):
+    codes = rng.integers(0, 4, 3000).astype(np.int8)
+    fm_full = build_fm_index(codes)
+    from tophat_tpu.ops.search import resolve_sa
+
+    for rate in (4, 16):
+        fm_s = build_fm_index(codes, sa_rate=rate)
+        assert fm_s.sa.shape[0] == 0
+        idx = rng.integers(0, 3001, 256)
+        full = np.asarray(resolve_sa(fm_full, np.asarray(idx, np.int32)))
+        samp = np.asarray(resolve_sa(fm_s, np.asarray(idx, np.int32)))
+        np.testing.assert_array_equal(full, samp)

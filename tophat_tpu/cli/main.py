@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--num-threads", type=int, default=1,
                    help="accepted for compatibility (device parallelism is "
                         "controlled by the JAX mesh)")
+    p.add_argument("--batch-size", type=int, default=16384,
+                   help="reads per device batch (larger inputs stream "
+                        "through the chunked pipeline)")
     return p
 
 
@@ -222,6 +225,7 @@ def main(argv=None):
         fusion_anchor_length=args.fusion_anchor_length,
         fusion_min_dist=args.fusion_min_dist,
         fusion_read_mismatches=args.fusion_read_mismatches,
+        batch_size=args.batch_size,
     )
 
     out_dir = args.output_dir
@@ -246,17 +250,34 @@ def main(argv=None):
         logger.log(logger_msg)
 
     files1 = args.reads1.split(",")
-    batch = load_reads(files1, params.quals_scale)
     logger.stage("prep_reads")
     if args.reads2:
         from tophat_tpu.pipeline.paired import run_pipeline_paired
+        batch = load_reads(files1, params.quals_scale)
         batch2 = load_reads(args.reads2.split(","), params.quals_scale)
         run_pipeline_paired(genome, batch, batch2, params, out_dir,
                             known_events=known, gtf_accept=gtf_accept,
                             log=logger.log)
     else:
-        run_pipeline(genome, batch, params, out_dir, known_events=known,
-                     gtf_accept=gtf_accept, log=logger.log)
+        from tophat_tpu.pipeline.run import (iter_read_batches,
+                                             run_pipeline_streaming)
+
+        batches = iter_read_batches(files1, params.quals_scale,
+                                    params.batch_size)
+        first = next(batches, None)
+        if first is None:
+            raise SystemExit("Error: no reads in input")
+        second = next(batches, None)
+        if second is None:
+            run_pipeline(genome, first, params, out_dir, known_events=known,
+                         gtf_accept=gtf_accept, log=logger.log)
+        else:
+            import itertools
+
+            run_pipeline_streaming(
+                genome, itertools.chain([first, second], batches), params,
+                out_dir, known_events=known, gtf_accept=gtf_accept,
+                log=logger.log)
     logger.stage("alldone")
     return 0
 

@@ -64,8 +64,16 @@ class FMIndex:
     # search steps; size 2 * 4^k int32, independent of genome size)
     kmer_lo: Any        # int32[4^k] or int32[0]
     kmer_hi: Any        # int32[4^k] or int32[0]
+    # sampled-SA structures (sa_rate > 0): text-order sampling — rows whose
+    # SA value is divisible by sa_rate are marked; resolution LF-walks to
+    # the nearest marked row (<= sa_rate-1 steps). Cuts SA memory by
+    # sa_rate at the cost of walk steps; `sa` is empty when sampled.
+    sa_marks: Any       # uint32[ceil((n+1)/32)] or uint32[0]
+    sa_mark_ck: Any     # int32[nblocks+1] rank checkpoints per 128 rows
+    sa_samples: Any     # int32[#marked] SA values of marked rows, row order
     n: int = dataclasses.field(metadata=dict(static=True))
     kmer_k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    sa_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     def device_put(self, sharding=None) -> "FMIndex":
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
@@ -74,7 +82,9 @@ class FMIndex:
             C=put(self.C), sa=put(self.sa), genome=put(self.genome),
             primary=put(self.primary), packed_genome=put(self.packed_genome),
             n_mask=put(self.n_mask), kmer_lo=put(self.kmer_lo),
-            kmer_hi=put(self.kmer_hi))
+            kmer_hi=put(self.kmer_hi), sa_marks=put(self.sa_marks),
+            sa_mark_ck=put(self.sa_mark_ck),
+            sa_samples=put(self.sa_samples))
 
     def save(self, path: str) -> None:
         np.savez(
@@ -86,7 +96,10 @@ class FMIndex:
             n_mask=np.asarray(self.n_mask),
             kmer_lo=np.asarray(self.kmer_lo),
             kmer_hi=np.asarray(self.kmer_hi),
-            n=self.n, kmer_k=self.kmer_k)
+            sa_marks=np.asarray(self.sa_marks),
+            sa_mark_ck=np.asarray(self.sa_mark_ck),
+            sa_samples=np.asarray(self.sa_samples),
+            n=self.n, kmer_k=self.kmer_k, sa_rate=self.sa_rate)
 
     @staticmethod
     def load(path: str) -> "FMIndex":
@@ -96,7 +109,10 @@ class FMIndex:
             sa=z["sa"], genome=z["genome"], primary=z["primary"][()],
             packed_genome=z["packed_genome"], n_mask=z["n_mask"],
             kmer_lo=z["kmer_lo"], kmer_hi=z["kmer_hi"],
-            n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]))
+            sa_marks=z["sa_marks"], sa_mark_ck=z["sa_mark_ck"],
+            sa_samples=z["sa_samples"],
+            n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]),
+            sa_rate=int(z["sa_rate"][()]))
 
 
 def pack_1bit(bits: np.ndarray) -> np.ndarray:
@@ -130,12 +146,14 @@ def _build_kmer_table(text: np.ndarray, sa: np.ndarray, k: int):
 
 
 def build_fm_index(genome: Genome | np.ndarray,
-                   kmer_k: int = 0) -> FMIndex:
+                   kmer_k: int = 0, sa_rate: int = 0) -> FMIndex:
     """Build the FM-index of a genome's forward strand on the host.
 
     Reverse-strand alignment is done by searching the reverse complement of
     the read against this same index (no second index needed).
-    kmer_k > 0 additionally builds the k-mer SA-interval seed table."""
+    kmer_k > 0 additionally builds the k-mer SA-interval seed table.
+    sa_rate > 0 stores a text-order-sampled SA (1/sa_rate of the values)
+    instead of the full array — see FMIndex field docs."""
     codes = genome.codes if isinstance(genome, Genome) else np.asarray(genome)
     codes = codes.astype(np.int8)
     text = np.where(codes == 4, 0, codes).astype(np.int8)  # N -> A in FM text
@@ -166,10 +184,27 @@ def build_fm_index(genome: Genome | np.ndarray,
     else:
         kmer_lo = kmer_hi = np.zeros(0, np.int32)
 
+    if sa_rate:
+        marked = (sa % sa_rate) == 0
+        sa_marks = pack_1bit(marked)
+        nb = (m + 127) // 128
+        per_block = np.zeros(nb * 128, np.int32)
+        per_block[:m] = marked
+        csum = np.cumsum(per_block.reshape(nb, 128).sum(axis=1))
+        sa_mark_ck = np.concatenate([[0], csum]).astype(np.int32)
+        sa_samples = sa[marked].astype(np.int32)
+        sa_store = np.zeros(0, np.int32)
+    else:
+        sa_marks = np.zeros(0, np.uint32)
+        sa_mark_ck = np.zeros(0, np.int32)
+        sa_samples = np.zeros(0, np.int32)
+        sa_store = sa.astype(np.int32)
+
     return FMIndex(
         packed_bwt=pack_2bit(bwt), occ_ck=occ_ck, C=C,
-        sa=sa.astype(np.int32), genome=codes,
+        sa=sa_store, genome=codes,
         primary=np.int32(primary),
         packed_genome=pack_2bit(text), n_mask=pack_1bit(codes == 4),
         kmer_lo=kmer_lo, kmer_hi=kmer_hi,
-        n=n, kmer_k=kmer_k)
+        sa_marks=sa_marks, sa_mark_ck=sa_mark_ck, sa_samples=sa_samples,
+        n=n, kmer_k=kmer_k, sa_rate=sa_rate)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tophat_tpu.ops.search import backward_search
+from tophat_tpu.ops.search import backward_search, resolve_sa
 from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
                                    same_contig)
 
@@ -104,11 +104,10 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     hi = hi.reshape(B, P)
     truncated = jnp.any((hi - lo) > hits_per_seed, axis=1)
 
-    sa = jnp.asarray(fm.sa)
     h = jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx = lo[:, :, None] + h[None, None, :]                    # (B, P, H)
     seed_valid = idx < hi[:, :, None]
-    hitpos = sa[jnp.clip(idx, 0, sa.shape[0] - 1)]
+    hitpos = resolve_sa(fm, idx)
     # searched substring starts max(0, plen - span) into the piece
     cand = (hitpos - piece_start[:, :, None]
             - jnp.maximum(plen - span, 0)[:, :, None])         # read start

@@ -58,12 +58,12 @@ def rank(fm, c, i):
 def bwt_symbol(fm, i):
     """Symbol code stored at BWT row i (the sentinel row reads as 0)."""
     i = jnp.asarray(i, jnp.int32)
-    word = fm.packed_bwt[i // 16]
+    word = jnp.asarray(fm.packed_bwt)[i // 16]
     return ((word >> (2 * (i % 16)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
 
 
 def lf(fm, i):
     """LF-mapping: row of the predecessor suffix. LF(primary) = 0."""
     c = bwt_symbol(fm, i)
-    out = fm.C[c] + rank(fm, c, i)
+    out = jnp.asarray(fm.C)[c] + rank(fm, c, i)
     return jnp.where(i == fm.primary, 0, out)

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tophat_tpu.ops.rank import rank
+from tophat_tpu.ops.rank import lf, rank
 
 
 def backward_search(fm, queries):
@@ -75,6 +75,58 @@ def backward_search(fm, queries):
     return lo, hi
 
 
+def resolve_sa(fm, idx):
+    """SA values for BWT rows `idx` (any shape). With a full SA this is one
+    gather; with text-order sampling (fm.sa_rate > 0) it LF-walks each row
+    to the nearest marked row (<= sa_rate - 1 steps, statically bounded) —
+    the classic FM-index space/time dial, sized so chromosome-scale indexes
+    fit one chip's HBM."""
+    if fm.sa_rate == 0:
+        sa = jnp.asarray(fm.sa)
+        return sa[jnp.clip(idx, 0, sa.shape[0] - 1)]
+
+    marks = jnp.asarray(fm.sa_marks)
+    ck = jnp.asarray(fm.sa_mark_ck)
+    samples = jnp.asarray(fm.sa_samples)
+    m = fm.n + 1
+
+    def is_marked(i):
+        w = marks[jnp.clip(i >> 5, 0, marks.shape[0] - 1)]
+        return ((w >> (i & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+    def rank1(i):
+        """#marked rows < i (for a marked row i: its sample index)."""
+        blk = i // 128
+        base = ck[jnp.clip(blk, 0, ck.shape[0] - 1)]
+        widx = (blk * 4)[..., None] + jnp.arange(4, dtype=jnp.int32)
+        words = marks[jnp.clip(widx, 0, marks.shape[0] - 1)]
+        covered = jnp.clip((i - blk * 128)[..., None]
+                           - jnp.arange(4) * 32, 0, 32)
+        mask = jnp.where(covered >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << covered.astype(jnp.uint32))
+                         - jnp.uint32(1))
+        return base + jax.lax.population_count(words & mask).sum(-1).astype(
+            jnp.int32)
+
+    i0 = jnp.clip(idx, 0, m - 1).astype(jnp.int32)
+
+    def body(_, st):
+        i, steps, pos, done = st
+        mk = is_marked(i)
+        newly = mk & ~done
+        val = samples[jnp.clip(rank1(i), 0, samples.shape[0] - 1)]
+        pos = jnp.where(newly, val + steps, pos)
+        done = done | mk
+        i = jnp.where(done, i, lf(fm, i))
+        steps = jnp.where(done, steps, steps + 1)
+        return (i, steps, pos, done)
+
+    st = (i0, jnp.zeros_like(i0), jnp.zeros_like(i0),
+          jnp.zeros(i0.shape, bool))
+    _, _, pos, done = jax.lax.fori_loop(0, fm.sa_rate, body, st)
+    return pos
+
+
 @partial(jax.jit, static_argnames=("max_hits",))
 def resolve_hits(fm, lo, hi, max_hits: int):
     """Expand SA intervals to genomic positions.
@@ -82,10 +134,9 @@ def resolve_hits(fm, lo, hi, max_hits: int):
     Returns (pos, valid): int32 (B, max_hits) text positions and a bool mask.
     Intervals wider than max_hits are truncated (callers see `truncated`).
     """
-    sa = jnp.asarray(fm.sa)
     idx = lo[:, None] + jnp.arange(max_hits, dtype=jnp.int32)[None, :]
     valid = idx < hi[:, None]
-    pos = sa[jnp.clip(idx, 0, sa.shape[0] - 1)]
+    pos = resolve_sa(fm, idx)
     truncated = (hi - lo) > max_hits
     return jnp.where(valid, pos, -1), valid, truncated
 

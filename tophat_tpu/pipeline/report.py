@@ -393,66 +393,83 @@ def select_best(cands: List[Candidate], max_multihits: int,
 
 
 def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
-                  events, program_version="0.1.0", paired_info=None):
-    """Emit accepted_hits.sam (coordinate-sorted), junctions.bed,
-    insertions.bed, deletions.bed, align_summary.txt."""
+                  events, program_version="0.1.0"):
+    return write_outputs_multi(out_dir, genome, params,
+                               [(batch, selected)], events)
+
+
+def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
+                        events):
+    """Emit accepted_hits.sam/.bam, unmapped.bam, BED tracks and
+    align_summary for one or many processed read chunks.
+
+    parts: [(ReadBatch, selected)] — the streaming pipeline passes one entry
+    per chunk (the k-way-merge role of the reference's per-thread output
+    parts, src/bam_merge.cpp + tophat.py:2736-2830)."""
     os.makedirs(out_dir, exist_ok=True)
 
-    # final event stats from the reported alignments only
     final_stats: Dict[int, EventStats] = {}
-    records = []
+    records = []  # (c, nh, rl, part_idx)
     n_aligned_reads = 0
     multimapped = 0
-    for r, clist in selected.items():
-        if not clist:
-            continue
-        n_aligned_reads += 1
-        nh = len(clist)
-        if nh > 1:
-            multimapped += 1
-        rl = int(batch.lengths[r])
-        for c in clist:
-            if c.ev >= 0:
-                st = final_stats.setdefault(c.ev, EventStats())
-                right_anchor = rl - c.t - (c.gap if events["kind"][c.ev] ==
-                                           KIND_INSERTION else 0)
-                st.add(c.t, right_anchor, c.mm)
-            elif c.kind == -2:
-                for i, op in enumerate(c.chain_ops):
-                    if op[0] != "EV":
-                        continue
-                    pre = (c.chain_ops[i - 1][1]
-                           if i > 0 and c.chain_ops[i - 1][0] == "M" else 0)
-                    post = (c.chain_ops[i + 1][1]
-                            if i + 1 < len(c.chain_ops)
-                            and c.chain_ops[i + 1][0] == "M" else 0)
-                    final_stats.setdefault(op[1], EventStats()).add(
-                        pre, post, c.mm)
-            records.append((c, nh, rl))
+    total = 0
+    for pi, (batch, selected) in enumerate(parts):
+        total += batch.size
+        for r, clist in selected.items():
+            if not clist:
+                continue
+            n_aligned_reads += 1
+            nh = len(clist)
+            if nh > 1:
+                multimapped += 1
+            rl = int(batch.lengths[r])
+            for c in clist:
+                if c.ev >= 0:
+                    st = final_stats.setdefault(c.ev, EventStats())
+                    right_anchor = rl - c.t - (
+                        c.gap if events["kind"][c.ev] == KIND_INSERTION
+                        else 0)
+                    st.add(c.t, right_anchor, c.mm)
+                elif c.kind == -2:
+                    for i, op in enumerate(c.chain_ops):
+                        if op[0] != "EV":
+                            continue
+                        pre = (c.chain_ops[i - 1][1]
+                               if i > 0 and c.chain_ops[i - 1][0] == "M"
+                               else 0)
+                        post = (c.chain_ops[i + 1][1]
+                                if i + 1 < len(c.chain_ops)
+                                and c.chain_ops[i + 1][0] == "M" else 0)
+                        final_stats.setdefault(op[1], EventStats()).add(
+                            pre, post, c.mm)
+                records.append((c, nh, rl, pi))
 
-    # coordinate sort: (global pos, read index, split point for same-pos ties)
-    records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[0].t))
+    # coordinate sort; ties by global read order then split point
+    records.sort(key=lambda rec: (rec[0].pos, rec[3], rec[0].read,
+                                  rec[0].t))
 
     # multi-mapped reads: all but the read's last emitted record are
     # secondary (0x100) and carry CC/CP pointing at the next record, the
     # bowtie convention the gold outputs preserve
-    last_of_read: Dict[int, int] = {}
+    last_of_read: Dict[Tuple[int, int], int] = {}
     next_of: Dict[int, Tuple[str, int]] = {}
-    prev_idx: Dict[int, int] = {}
-    for i, (c, nh, rl) in enumerate(records):
-        if c.read in prev_idx:
+    prev_idx: Dict[Tuple[int, int], int] = {}
+    for i, (c, nh, rl, pi) in enumerate(records):
+        key = (pi, c.read)
+        if key in prev_idx:
             cid, local = genome.global_to_contig(np.int64(c.pos))
-            next_of[prev_idx[c.read]] = (genome.names[int(cid)], int(local))
-        prev_idx[c.read] = i
-        last_of_read[c.read] = i
+            next_of[prev_idx[key]] = (genome.names[int(cid)], int(local))
+        prev_idx[key] = i
+        last_of_read[key] = i
 
     lines = []
     bam_recs = []
-    for i, (c, nh, rl) in enumerate(records):
+    for i, (c, nh, rl, pi) in enumerate(records):
+        batch = parts[pi][0]
         cid, local = genome.global_to_contig(np.int64(c.pos))
         flag = samio.FLAG_REVERSE if c.strand else 0
         extra = None
-        if nh > 1 and i != last_of_read[c.read]:
+        if nh > 1 and i != last_of_read[(pi, c.read)]:
             flag |= samio.FLAG_SECONDARY
             nref, npos = next_of[i]
             cc = "=" if nref == genome.names[int(cid)] else nref
@@ -464,12 +481,11 @@ def write_outputs(out_dir: str, genome: Genome, params, batch, selected,
     with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
         for ln in lines:
             f.write(ln + "\n")
-    write_bam_outputs(out_dir, genome, batch, bam_recs, selected)
+    write_bam_outputs(out_dir, genome, parts, bam_recs)
 
     _write_beds(out_dir, genome, events, final_stats,
                 fusion_search=params.fusion_search)
 
-    total = batch.size
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
         pct = 100.0 * n_aligned_reads / max(total, 1)
         f.write("Reads:\n")
@@ -538,7 +554,7 @@ def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
     return line, brec
 
 
-def write_bam_outputs(out_dir, genome, batch, bam_recs, selected):
+def write_bam_outputs(out_dir, genome, parts, bam_recs):
     """accepted_hits.bam (coordinate-sorted, same order as the SAM) and
     unmapped.bam (reference output contract: SURVEY.md appendix)."""
     from tophat_tpu.index.fasta import decode_seq
@@ -552,18 +568,19 @@ def write_bam_outputs(out_dir, genome, batch, bam_recs, selected):
         w.write(r)
     w.close()
 
-    mapped = {r for r, clist in selected.items() if clist}
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
                   "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
                   genome.names, lens)
-    for r in range(batch.size):
-        if r in mapped:
-            continue
-        rl = int(batch.lengths[r])
-        seq = decode_seq(batch.codes[r][:rl]).encode()
-        w.write(BamRecord(batch.names[r], samio.FLAG_UNMAPPED, -1, -1, 0,
-                          [], -1, -1, 0, seq, batch.quals[r][:rl] or b"*",
-                          []))
+    for batch, selected in parts:
+        mapped = {r for r, clist in selected.items() if clist}
+        for r in range(batch.size):
+            if r in mapped:
+                continue
+            rl = int(batch.lengths[r])
+            seq = decode_seq(batch.codes[r][:rl]).encode()
+            w.write(BamRecord(batch.names[r], samio.FLAG_UNMAPPED, -1, -1,
+                              0, [], -1, -1, 0, seq,
+                              batch.quals[r][:rl] or b"*", []))
     w.close()
 
 

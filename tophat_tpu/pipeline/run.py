@@ -50,6 +50,21 @@ def load_reads(files: List[str], quals_scale: str) -> ReadBatch:
     return batch_reads(records)
 
 
+def iter_read_batches(files: List[str], quals_scale: str, batch_size: int):
+    """Stream (name, seq, qual) records into fixed-size ReadBatches — the
+    host input pipeline role of ZReader + prep_reads streaming (reference:
+    src/tophat.py:1756, prep_reads.cpp:337)."""
+    buf = []
+    for path in files:
+        for rec in read_all(path, quals_scale):
+            buf.append(rec)
+            if len(buf) >= batch_size:
+                yield batch_reads(buf)
+                buf = []
+    if buf:
+        yield batch_reads(buf)
+
+
 @dataclasses.dataclass
 class MateState:
     """Per-mate intermediate state flowing between stages."""
@@ -136,81 +151,88 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
     events = merge_events(*tables)
 
     for m in mates:
-        # stitched alignments carry up to segment_mismatches per segment
-        max_nseg = int(m.gs.nseg.max()) if m.gs.rows else 1
-        realign_mm = params.segment_mismatches * max_nseg
-        if m.gs.rows and len(events["left"]):
-            ev = dict(events)
-            ev["valid"] = np.ones(len(ev["left"]), bool)
-            spl = realign_events(fm.genome, m.gs.readsg, m.gs.lengths, ev,
-                                 max_mm=realign_mm)
-        else:
-            spl = (np.zeros((m.gs.rows, 0), np.int32),
-                   np.zeros((m.gs.rows, 0), np.int32),
-                   np.zeros((m.gs.rows, 0), bool))
-        chain_cands = None
-        if params.fusion_search and m.gs.rows and len(events["left"]):
-            from tophat_tpu.pipeline.chains import chain_stitch
-
-            chain_cands = chain_stitch(fm, m.gs, m.seg_tables, events,
-                                       params)
-            if chain_cands:
-                log(f"chain stitch: {len(chain_cands)} multi-event chains")
-        m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
-                                     stitched=m.stitched,
-                                     genome_codes=np.asarray(fm.genome),
-                                     chain_cands=chain_cands)
-
-        # cross-strand (FR/RF) fusion candidates
-        if params.fusion_search and m.gs.rows:
-            from tophat_tpu.ops.fusion_fr import find_fr_fusions
-            from tophat_tpu.ops.splice import KIND_FUSION
-            from tophat_tpu.pipeline.report import Candidate
-
-            nfr = 0
-            for res in find_fr_fusions(fm, m.gs, m.seg_tables, None, params):
-                for rr, t, pa, pb, mm2 in zip(res["read"], res["t"],
-                                              res["posA"], res["posB"],
-                                              res["mm"]):
-                    read = int(m.gs.read_idx[int(rr)])
-                    rl = int(m.gs.lengths[int(rr)])
-                    t = int(t)
-                    fa = params.fusion_anchor_length
-                    if t < fa or rl - t < fa:
-                        continue
-                    if res["pattern"] == "fr":
-                        pos = int(pa) - t + 1
-                    else:
-                        pos = int(pa)
-                    c = Candidate(read=read, pos=pos, strand=0, mm=int(mm2),
-                                  kind=KIND_FUSION, ev=-1, t=t,
-                                  fdir=res["pattern"], fpos2=int(pb))
-                    lst = m.cands.setdefault(read, [])
-                    if not any(x.kind == KIND_FUSION and x.pos == c.pos
-                               and x.t == c.t and x.fdir == c.fdir
-                               for x in lst):
-                        lst.append(c)
-                        nfr += 1
-            if nfr:
-                log(f"cross-strand fusion candidates: {nfr}")
+        candidates_for_mate(fm, m, events, params, log)
 
     # pass 1: stats + acceptance over all mates' candidates
     stats: Dict[int, object] = {}
     for m in mates:
-        mstats = accumulate_event_stats(m.cands, events,
-                                        m.batch.lengths.astype(np.int32))
-        for e, st in mstats.items():
-            if e in stats:
-                prev = stats[e]
-                prev.supporting += st.supporting
-                prev.left_extent = max(prev.left_extent, st.left_extent)
-                prev.right_extent = max(prev.right_extent, st.right_extent)
-                prev.min_mm = min(prev.min_mm, st.min_mm)
-            else:
-                stats[e] = st
+        merge_stats(stats, accumulate_event_stats(
+            m.cands, events, m.batch.lengths.astype(np.int32)))
     filter_junctions(events, stats, params, gtf_accept=gtf_accept)
     accepted = {e for e, st in stats.items() if st.accepted}
     return mates, events, stats, accepted, fm
+
+
+def merge_stats(into: Dict[int, object], other: Dict[int, object]) -> None:
+    for e, st in other.items():
+        if e in into:
+            prev = into[e]
+            prev.supporting += st.supporting
+            prev.left_extent = max(prev.left_extent, st.left_extent)
+            prev.right_extent = max(prev.right_extent, st.right_extent)
+            prev.min_mm = min(prev.min_mm, st.min_mm)
+        else:
+            into[e] = st
+
+
+def candidates_for_mate(fm, m: MateState, events, params, log) -> None:
+    """Realign one chunk/mate against the (global) event table and build its
+    candidate lists."""
+    max_nseg = int(m.gs.nseg.max()) if m.gs.rows else 1
+    realign_mm = params.segment_mismatches * max_nseg
+    if m.gs.rows and len(events["left"]):
+        ev = dict(events)
+        ev["valid"] = np.ones(len(ev["left"]), bool)
+        spl = realign_events(fm.genome, m.gs.readsg, m.gs.lengths, ev,
+                             max_mm=realign_mm)
+    else:
+        spl = (np.zeros((m.gs.rows, 0), np.int32),
+               np.zeros((m.gs.rows, 0), np.int32),
+               np.zeros((m.gs.rows, 0), bool))
+    chain_cands = None
+    if params.fusion_search and m.gs.rows and len(events["left"]):
+        from tophat_tpu.pipeline.chains import chain_stitch
+
+        chain_cands = chain_stitch(fm, m.gs, m.seg_tables, events, params)
+        if chain_cands:
+            log(f"chain stitch: {len(chain_cands)} multi-event chains")
+    m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
+                                 stitched=m.stitched,
+                                 genome_codes=np.asarray(fm.genome),
+                                 chain_cands=chain_cands)
+
+    # cross-strand (FR/RF) fusion candidates
+    if params.fusion_search and m.gs.rows:
+        from tophat_tpu.ops.fusion_fr import find_fr_fusions
+        from tophat_tpu.ops.splice import KIND_FUSION
+        from tophat_tpu.pipeline.report import Candidate
+
+        nfr = 0
+        for res in find_fr_fusions(fm, m.gs, m.seg_tables, None, params):
+            for rr, t, pa, pb, mm2 in zip(res["read"], res["t"],
+                                          res["posA"], res["posB"],
+                                          res["mm"]):
+                read = int(m.gs.read_idx[int(rr)])
+                rl = int(m.gs.lengths[int(rr)])
+                t = int(t)
+                fa = params.fusion_anchor_length
+                if t < fa or rl - t < fa:
+                    continue
+                if res["pattern"] == "fr":
+                    pos = int(pa) - t + 1
+                else:
+                    pos = int(pa)
+                c = Candidate(read=read, pos=pos, strand=0, mm=int(mm2),
+                              kind=KIND_FUSION, ev=-1, t=t,
+                              fdir=res["pattern"], fpos2=int(pb))
+                lst = m.cands.setdefault(read, [])
+                if not any(x.kind == KIND_FUSION and x.pos == c.pos
+                           and x.t == c.t and x.fdir == c.fdir
+                           for x in lst):
+                    lst.append(c)
+                    nfr += 1
+        if nfr:
+            log(f"cross-strand fusion candidates: {nfr}")
 
 
 def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
@@ -241,3 +263,65 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
         f"reported")
     return dict(mates=mates, events=events, stats=stats, selected=selected,
                 fm=fm)
+
+
+def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
+                           out_dir: str, fm: Optional[FMIndex] = None,
+                           known_events=None, gtf_accept=None, log=print):
+    """Chunked single-end pipeline for read sets larger than one device
+    batch: per-chunk map + discovery, a global event union, per-chunk
+    realignment, global junction filtering, and k-way-merged output
+    (the chunk axis plays the role of the reference's per-thread read-ID
+    ranges with a final merge, SURVEY.md §2.5)."""
+    from tophat_tpu.pipeline.report import write_outputs_multi
+
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    if fm is None:
+        log("Building FM index...")
+        fm = build_fm_index(genome)
+    offsets = genome.offsets.astype(np.int32)
+
+    chunks: List[MateState] = []
+    tables = []
+    for bi, batch in enumerate(batch_iter):
+        m = _map_mate(fm, offsets, batch, params, log)
+        tables.append(discover_events(fm, offsets, m.gs, params,
+                                      seg_tables=m.seg_tables, log=None))
+        if params.coverage_search and m.seg_tables is not None:
+            from tophat_tpu.pipeline.coverage import coverage_search_events
+
+            tables.append(coverage_search_events(fm, genome, m.gs,
+                                                 m.seg_tables, params))
+        chunks.append(m)
+        log(f"chunk {bi}: {batch.size} reads")
+    if known_events is not None:
+        tables.append(known_events)
+    events = merge_events(*tables)
+    log(f"{len(events['left'])} candidate events across "
+        f"{len(chunks)} chunks")
+
+    stats: Dict[int, object] = {}
+    for m in chunks:
+        candidates_for_mate(fm, m, events, params, log)
+        merge_stats(stats, accumulate_event_stats(
+            m.cands, events, m.batch.lengths.astype(np.int32)))
+    filter_junctions(events, stats, params, gtf_accept=gtf_accept)
+    accepted = {e for e, st in stats.items() if st.accepted}
+
+    rng = np.random.default_rng(1)
+    parts = []
+    for m in chunks:
+        selected = {}
+        for r, clist in m.cands.items():
+            usable = [c for c in clist
+                      if (all(e in accepted for e in c.chain_events)
+                          if c.kind == -2
+                          else (c.ev < 0 or c.ev in accepted))]
+            selected[r] = select_best(usable, params.max_multihits, rng)
+        parts.append((m.batch, selected))
+
+    records = write_outputs_multi(out_dir, genome, params, parts, events)
+    log(f"streaming done in {time.time() - t0:.1f}s; {len(records)} "
+        f"alignments over {len(chunks)} chunks")
+    return dict(events=events, stats=stats, parts=parts, fm=fm)
