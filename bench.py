@@ -82,9 +82,12 @@ def main():
     batches = [tuple(jax.device_put(x) for x in make_batch(100 + i))
                for i in range(ITERS + 1)]
 
+    from tophat_tpu.ops.align import kmer_fast_ok
+
+    fast = kmer_fast_ok(fm, READ_LEN, 2)
     run = lambda b: align_reads(fm_d, b[0], b[1], b[2], offsets,
                                 max_mismatches=2, hits_per_seed=16,
-                                max_alignments=16)
+                                max_alignments=16, kmer_fast=fast)
     out = run(batches[0])          # compile + warmup
     jax.block_until_ready(out)
     n_aligned = int(np.asarray(out.n_hits > 0).sum())

@@ -58,3 +58,19 @@ def test_bam_roundtrip(tmp_path):
         assert a.cigar == b.cigar
         assert a.seq == b.seq and a.qual == b.qual
         assert a.tags == b.tags
+
+
+def test_bam_as_read_input(tmp_path):
+    """BAM files feed reads back into the pipeline (bam2fastx role)."""
+    from tophat_tpu.io.fastq import read_all
+
+    path = str(tmp_path / "reads.bam")
+    w = BamWriter(path, "@HD\tVN:1.0\n", ["c"], [100])
+    w.write(BamRecord("a", 0, 0, 0, 255, [("M", 4)], -1, -1, 0,
+                      b"ACGT", b"IIII", []))
+    w.write(BamRecord("b", 16, 0, 10, 255, [("M", 4)], -1, -1, 0,
+                      b"ACGT", b"HIJK", []))  # reverse-flag record
+    w.close()
+    recs = list(read_all(path))
+    assert recs[0] == ("a", b"ACGT", b"IIII")
+    assert recs[1] == ("b", b"ACGT", b"KJIH")

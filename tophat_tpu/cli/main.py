@@ -220,7 +220,7 @@ def main(argv=None):
         inner_dist_std_dev=args.mate_std_dev,
         quals_scale=("phred64" if args.phred64_quals
                      else "solexa" if args.solexa_quals else "phred33"),
-        coverage_search=not args.no_coverage_search,
+        coverage_search=args.coverage_search or not args.no_coverage_search,
         fusion_search=args.fusion_search,
         fusion_anchor_length=args.fusion_anchor_length,
         fusion_min_dist=args.fusion_min_dist,

@@ -104,15 +104,18 @@ class FMIndex:
     @staticmethod
     def load(path: str) -> "FMIndex":
         z = np.load(path)
+        get = lambda k, d: z[k] if k in z.files else d
         return FMIndex(
             packed_bwt=z["packed_bwt"], occ_ck=z["occ_ck"], C=z["C"],
             sa=z["sa"], genome=z["genome"], primary=z["primary"][()],
             packed_genome=z["packed_genome"], n_mask=z["n_mask"],
             kmer_lo=z["kmer_lo"], kmer_hi=z["kmer_hi"],
-            sa_marks=z["sa_marks"], sa_mark_ck=z["sa_mark_ck"],
-            sa_samples=z["sa_samples"],
+            sa_marks=get("sa_marks", np.zeros(0, np.uint32)),
+            sa_mark_ck=get("sa_mark_ck", np.zeros(0, np.int32)),
+            sa_samples=get("sa_samples", np.zeros(0, np.int32)),
             n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]),
-            sa_rate=int(z["sa_rate"][()]))
+            sa_rate=int(get("sa_rate", np.int32(0))[()]
+                        if "sa_rate" in z.files else 0))
 
 
 def pack_1bit(bits: np.ndarray) -> np.ndarray:

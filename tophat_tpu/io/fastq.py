@@ -99,7 +99,27 @@ def convert_quals(qual: bytes, scale: str) -> bytes:
 
 
 def read_all(path: str, quals_scale: str = "phred33") -> Iterator[Tuple[str, bytes, bytes]]:
-    """Yield (name, seq_ascii, qual_phred33) for every record in the file."""
+    """Yield (name, seq_ascii, qual_phred33) for every record in the file.
+
+    Accepts FASTQ/FASTA (optionally gzip/bz2) and BAM — the reference feeds
+    BAM-stored reads back into the aligner via bam2fastx
+    (src/bam2fastx.cpp:365); here BAM records stream directly. Reverse-flag
+    records are restored to original read orientation."""
+    if path.endswith(".bam"):
+        from tophat_tpu.index.fasta import encode_seq
+        from tophat_tpu.io.bam import read_bam
+        from tophat_tpu.io.sam import FLAG_REVERSE, revcomp_ascii
+
+        _, _, _, records = read_bam(path)
+        for rec in records:
+            seq, qual = rec.seq, rec.qual
+            if rec.flag & FLAG_REVERSE:
+                seq = revcomp_ascii(seq)
+                qual = qual[::-1]
+            if qual == b"*":
+                qual = b"I" * len(seq)
+            yield rec.name, seq, qual
+        return
     fmt = sniff_format(path)
     with _open(path) as f:
         it = _iter_fasta(f) if fmt == "fasta" else _iter_fastq(f)

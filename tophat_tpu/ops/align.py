@@ -71,8 +71,33 @@ def _piece_queries(reads, lengths, num_pieces: int, piece_len: int):
     return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s, plen
 
 
+def seed_span(fm, max_mismatches: int, read_len: int):
+    """Width of the shortened seed search (see _align_one_strand)."""
+    P = max_mismatches + 1
+    piece_len = (read_len + P - 1) // P + 1
+    k = getattr(fm, "kmer_k", 0)
+    if not k:
+        return piece_len
+    extend = max(0, math.ceil(math.log(max(4 * fm.n, 4), 4)) - k)
+    return min(piece_len, k + extend)
+
+
+def kmer_fast_ok(fm, min_read_len: int, max_mismatches: int) -> bool:
+    """True when seed shortening is complete for every read length >=
+    min_read_len: the shortest piece (floor(len/P)) must still cover the
+    shortened span, otherwise short pieces pad into the k-mer window and
+    would silently lose their seeds."""
+    k = getattr(fm, "kmer_k", 0)
+    if not k:
+        return False
+    P = max_mismatches + 1
+    extend = max(0, math.ceil(math.log(max(4 * fm.n, 4), 4)) - k)
+    return (min_read_len // P) >= k + extend
+
+
 def _align_one_strand(fm, reads, lengths, max_mismatches: int,
-                      hits_per_seed: int, verify_slots: int = 32):
+                      hits_per_seed: int, verify_slots: int = 32,
+                      kmer_fast: bool = False):
     """All placements of `reads` on the forward text with <= max_mismatches.
 
     Candidates are compacted to `verify_slots` per read before mismatch
@@ -91,11 +116,11 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     # seed shortening: an exact piece implies an exact k-mer suffix of that
     # piece, so searching only the last `span` piece characters preserves
     # pigeonhole completeness — verification rejects the extra candidates.
-    # span is sized so expected spurious hits stay O(1) per seed.
-    k = getattr(fm, "kmer_k", 0)
-    if k:
-        extend = max(0, math.ceil(math.log(max(4 * fm.n, 4), 4)) - k)
-        span = min(piece_len, k + extend)
+    # span is sized so expected spurious hits stay O(1) per seed. Callers
+    # must enable this only when kmer_fast_ok holds for the batch's minimum
+    # read length (shorter pieces would pad into the k-mer window).
+    if kmer_fast:
+        span = seed_span(fm, max_mismatches, L)
     else:
         span = piece_len
     lo, hi = backward_search(fm, q[:, :, piece_len - span:]
@@ -134,10 +159,11 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
 
 
 @partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
-                                   "max_alignments"))
+                                   "max_alignments", "kmer_fast"))
 def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
                 max_mismatches: int = 2, hits_per_seed: int = 32,
-                max_alignments: int = 64) -> Alignments:
+                max_alignments: int = 64,
+                kmer_fast: bool = False) -> Alignments:
     """Align a batch both strands; reads_r must be revcomp(reads_f) with the
     same per-read lengths (padding handled by the caller: both arrays are
     LEFT-aligned code arrays padded with -1).
@@ -146,9 +172,9 @@ def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
     contig boundary in the concatenated genome are rejected.
     """
     pf, mf, vf, tf = _align_one_strand(fm, reads_f, lengths, max_mismatches,
-                                       hits_per_seed)
+                                       hits_per_seed, kmer_fast=kmer_fast)
     pr, mr, vr, tr = _align_one_strand(fm, reads_r, lengths, max_mismatches,
-                                       hits_per_seed)
+                                       hits_per_seed, kmer_fast=kmer_fast)
     C = pf.shape[1]
     pos = jnp.concatenate([pf, pr], axis=1)
     mm = jnp.concatenate([mf, mr], axis=1)

@@ -68,6 +68,7 @@ def make_sharded_pipeline_step(mesh, *, read_len: int, segment_length: int,
 
     cuts_host = segment_offsets(read_len, segment_length)
     S = len(cuts_host) - 1
+    max_seg_len = max(b - a for a, b in zip(cuts_host, cuts_host[1:]))
     nr = mesh.shape[READS_AXIS]
     ng = mesh.shape[GENOME_AXIS]
     ev_per_shard = max_events // ng
@@ -95,7 +96,7 @@ def make_sharded_pipeline_step(mesh, *, read_len: int, segment_length: int,
         cuts2 = jnp.concatenate([jnp.tile(cuts_f, (B, 1)),
                                  jnp.tile(cuts_r, (B, 1))], axis=0)
         seg_len_tbl = cuts2[:, 1:] - cuts2[:, :-1]
-        SEGL = (read_len + S - 1) // S + 1
+        SEGL = max_seg_len
         t = jnp.arange(SEGL, dtype=jnp.int32)
         src = cuts2[:, :-1][:, :, None] + t[None, None, :]
         ok = t[None, None, :] < seg_len_tbl[:, :, None]
@@ -123,7 +124,7 @@ def make_sharded_pipeline_step(mesh, *, read_len: int, segment_length: int,
                                  segment_length)
         win, _ = compact_windows(win, max_windows)
         jl, jr, jrev, jvalid = scan_windows(fm.genome, rowsg, win,
-                                            segment_length + 17)
+                                            max_seg_len + 17)
 
         # compact local candidates to fixed slots
         flat_l = jl.reshape(-1)

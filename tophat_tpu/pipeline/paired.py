@@ -42,10 +42,10 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
         genome, [batch1, batch2], params, fm=fm, known_events=known_events,
         gtf_accept=gtf_accept, log=log)
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
-        f.write(mates[0].prep_stats.info_text())
+        f.write("left reads:\n" + mates[0].prep_stats.info_text())
+        f.write("right reads:\n" + mates[1].prep_stats.info_text())
 
     rng = np.random.default_rng(1)
-    n = min(batch1.size, batch2.size)
     selected: List[List[List[Candidate]]] = []
     for mi, m in enumerate(mates):
         sel = {}
@@ -60,11 +60,20 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
     final_stats: Dict[int, EventStats] = {}
     records = []
     n_pairs = n_single = 0
+    n = max(batch1.size, batch2.size)
     for r in range(n):
-        s1 = selected[0].get(r, [])
-        s2 = selected[1].get(r, [])
+        s1 = selected[0].get(r, []) if r < batch1.size else []
+        s2 = selected[1].get(r, []) if r < batch2.size else []
         if s1 and s2:
             n_pairs += 1
+            # pair grading (InsertAlignmentGrade role): when either mate
+            # multi-maps, keep the combination with the best combined score
+            # and inner-distance fit
+            if len(s1) > 1 or len(s2) > 1:
+                c1, c2 = max(((a, b) for a in s1 for b in s2),
+                             key=lambda p: _pair_key(
+                                 p[0], p[1], params.inner_dist_mean))
+                s1, s2 = [c1], [c2]
         elif s1 or s2:
             n_single += 1
         for mi, (own, other, batch) in enumerate(
@@ -103,6 +112,8 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
             mcid, pnext_local = genome.global_to_contig(np.int64(pnext))
             pnext = int(pnext_local)
             mate_ref = int(mcid)
+            if mate_ref != int(cid):  # cross-contig mate: name it explicitly
+                rnext = genome.names[mate_ref]
         xs = None
         if c.kind == KIND_JUNCTION:
             xs = "-" if events["antisense"][c.ev] else "+"
@@ -139,7 +150,27 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
         w.write(r)
     w.close()
 
-    _write_beds(out_dir, genome, events, final_stats)
+    from tophat_tpu.io.bam import BamRecord as _BR
+
+    w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
+                  "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
+                  genome.names, lens)
+    for mi, batch in enumerate((batch1, batch2)):
+        mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
+        sel = selected[mi]
+        for r in range(batch.size):
+            if sel.get(r):
+                continue
+            rl = int(batch.lengths[r])
+            w.write(_BR(batch.names[r],
+                        samio.FLAG_PAIRED | mate_bit | samio.FLAG_UNMAPPED,
+                        -1, -1, 0, [], -1, -1, 0,
+                        decode_seq(batch.codes[r][:rl]).encode(),
+                        batch.quals[r][:rl] or b"*", []))
+    w.close()
+
+    _write_beds(out_dir, genome, events, final_stats,
+                fusion_search=params.fusion_search)
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
         f.write(f"Aligned pairs: {n_pairs}\n")
         f.write(f"Half-mapped reads: {n_single}\n")

@@ -31,7 +31,6 @@ class Params:
     max_segment_intron: int = 500000    # --max-segment-intron
     min_coverage_intron: int = 50       # --min-coverage-intron
     max_coverage_intron: int = 20000    # --max-coverage-intron
-    max_splice_mismatches: int = 1      # internal cap used by junction filter
     # indels
     max_insertion_length: int = 3       # --max-insertion-length
     max_deletion_length: int = 3        # --max-deletion-length
@@ -63,9 +62,8 @@ class Params:
     max_juncs: int = 4096               # candidate junction slots
 
     def segment_count(self, read_len: int) -> int:
-        """Number of segments a read of this length splits into
-        (reference: src/tophat.py:2980-2991 — last short piece is absorbed
-        into the previous segment)."""
-        if read_len < self.segment_length:
-            return 1
-        return max(1, read_len // self.segment_length)
+        """Number of segments a read of this length splits into — delegates
+        to the single source of truth (pipeline.prep.segment_offsets)."""
+        from tophat_tpu.pipeline.prep import segment_offsets
+
+        return len(segment_offsets(read_len, self.segment_length)) - 1

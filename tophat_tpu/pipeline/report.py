@@ -53,6 +53,7 @@ class Candidate:
     chain_events: tuple = ()
     fdir: str = "ff"    # fusion direction (kind == KIND_FUSION)
     fpos2: int = -1     # fusion partner coordinate for table-free fusions
+    splice_mms: int = 0  # mismatches within min_anchor of the event split
 
     @property
     def edit_dist(self) -> int:
@@ -129,22 +130,20 @@ class Candidate:
                                                     KIND_INSERTION) else 0)
 
 
-def _per_segment_mm_ok(genome, row_codes, cuts_row, rl, seg_budget,
-                       kind, left, right, q, seq, t) -> bool:
-    """Gate a spliced candidate by segment-path feasibility: the reference
-    only produces candidates whose segments each came from a bowtie hit
-    (long_spanning_reads semantics), so
+def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
+                      min_anchor, kind, left, right, q, seq, t):
+    """Gate a spliced candidate by segment-path feasibility and compute its
+    near-splice mismatch count.
 
-      - non-spanning segments must fit `seg_budget` mismatches in place
-      - for indels, the segment CONTAINING the event must additionally have
-        an UNGAPPED genomic placement with <= seg_budget mismatches at one
-        of its two event-consistent positions (the detect_small_* pair
-        gating, segment_juncs.cpp:2921-2938, requires both pair segments to
-        be real ungapped bowtie hits)
-    """
+    Feasibility: every segment of the read must fit `seg_budget` mismatches
+    with the event applied — the reference only produces candidates whose
+    segments each came from a bowtie hit (long_spanning_reads semantics).
+    splice_mms: mismatches within min_anchor of the split point (reference:
+    bwt_map.cpp:723 counts |spl_ofs - o| < min_anchor_len into _splice_mms).
+
+    Returns (ok, splice_mms)."""
     n = genome.shape[0]
     mmv = np.zeros(rl, bool)
-    pos = left - t + 1  # alignment start
 
     def cmp(ridx, gpos):
         rp = row_codes[ridx]
@@ -164,12 +163,12 @@ def _per_segment_mm_ok(genome, row_codes, cuts_row, rl, seg_budget,
         suf = np.arange(rl - t)
         mmv[t:] = cmp(t + suf, right + suf)
 
-    del pos  # event-applied per-segment budgets only
+    splice_mms = int(mmv[max(0, t - min_anchor): t + min_anchor].sum())
     for j in range(len(cuts_row) - 1):
         a, b = int(cuts_row[j]), int(cuts_row[j + 1])
         if b > a and mmv[a:b].sum() > seg_budget:
-            return False
-    return True
+            return False, splice_mms
+    return True, splice_mms
 
 
 def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
@@ -242,16 +241,27 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 tmin = three_min if kind == KIND_JUNCTION else 4
                 if five < five_min or three < tmin:
                     continue
-            if genome_codes is not None and not _per_segment_mm_ok(
+            if kind == KIND_JUNCTION:
+                # reported-intron bounds (-i/-I; reference passes them to
+                # every stage as --min/max-report-intron, run.log contract)
+                min_i = min(params.min_intron_length,
+                            params.min_segment_intron)
+                if not (min_i <= gap <= params.max_intron_length):
+                    continue
+            if genome_codes is not None:
+                ok, spl_mms = _candidate_checks(
                     genome_codes, gs.readsg[row], gs.cuts[row], rl,
-                    params.segment_mismatches, kind, int(ev_left[e]),
-                    int(ev_right[e]), int(ev_ilen[e]),
-                    events["ins_seq"][e], t):
-                continue
+                    params.segment_mismatches, params.min_anchor_len, kind,
+                    int(ev_left[e]), int(ev_right[e]), int(ev_ilen[e]),
+                    events["ins_seq"][e], t)
+                if not ok:
+                    continue
+            else:
+                spl_mms = int(spl_mm[row, e])
             cands.setdefault(read, []).append(Candidate(
                 read=read, pos=int(ev_left[e]) - t + 1,
                 strand=strand, mm=int(spl_mm[row, e]),
-                kind=kind, ev=int(e), t=t, gap=gap))
+                kind=kind, ev=int(e), t=t, gap=gap, splice_mms=spl_mms))
 
     # multi-event chains (pipeline/chains.py)
     for cc in (chain_cands or []):
@@ -317,7 +327,7 @@ def accumulate_event_stats(cands: Dict[int, List[Candidate]], events,
             rl = int(read_lens[c.read])
             right_anchor = rl - c.t - (c.gap if events["kind"][c.ev] ==
                                        KIND_INSERTION else 0)
-            st.add(c.t, right_anchor, c.mm)
+            st.add(c.t, right_anchor, c.splice_mms)
     return stats
 
 
@@ -338,7 +348,7 @@ def filter_junctions(events, stats: Dict[int, EventStats], params,
         if min(st.left_extent, st.right_extent) < params.min_anchor_len:
             st.accepted = False
             continue
-        if st.min_mm > params.max_splice_mismatches:
+        if st.min_mm > params.splice_mismatches:
             st.accepted = False
             continue
         intron = int(events["right"][e]) - int(events["left"][e])

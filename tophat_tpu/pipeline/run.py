@@ -89,10 +89,15 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     reads_r = revcomp_rows(batch.codes, batch.lengths)
     lengths = batch.lengths.astype(np.int32)
 
+    from tophat_tpu.ops.align import kmer_fast_ok
+
+    min_len = int(lengths.min()) if len(lengths) else 0
     aln = align_reads(fm, reads_f, reads_r, lengths, offsets,
                       max_mismatches=params.read_mismatches,
                       hits_per_seed=params.hits_per_seed,
-                      max_alignments=params.max_alignments)
+                      max_alignments=params.max_alignments,
+                      kmer_fast=kmer_fast_ok(fm, min_len,
+                                             params.read_mismatches))
     valid = np.asarray(aln.valid) & keep[:, None]
     n_hits = np.where(keep, np.asarray(aln.n_hits), 0)
     aln = Alignments(pos=np.asarray(aln.pos), strand=np.asarray(aln.strand),
