@@ -46,13 +46,18 @@ def get_fm():
                     names=["chr1"])
     t0 = time.time()
     fm = build_fm_index(genome, kmer_k=13)
-    print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     fm.save(path)
     return fm
 
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the (tunnel-slow)
+    # XLA compilation entirely
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tophat_tpu.index.fasta import revcomp
     from tophat_tpu.ops.align import align_reads
@@ -88,10 +93,12 @@ def main():
     run = lambda b: align_reads(fm_d, b[0], b[1], b[2], offsets,
                                 max_mismatches=2, hits_per_seed=16,
                                 max_alignments=16, kmer_fast=fast)
+    print("# compiling...", file=sys.stderr, flush=True)
     out = run(batches[0])          # compile + warmup
     jax.block_until_ready(out)
     n_aligned = int(np.asarray(out.n_hits > 0).sum())
-    print(f"# warmup: {n_aligned}/{BATCH} reads aligned", file=sys.stderr)
+    print(f"# warmup: {n_aligned}/{BATCH} reads aligned", file=sys.stderr,
+          flush=True)
 
     t0 = time.time()
     outs = [run(b) for b in batches[1:]]

@@ -89,10 +89,21 @@ class Candidate:
         if self.kind == -2:
             out: List[Tuple[str, int]] = []
             consumed = 0
-            for op in self.chain_ops:
+            ops = list(self.chain_ops)
+            if ops and ops[0][0] == "FUS":  # rf chain: lead soft clip
+                rest = sum(op[1] for op in ops[1:]
+                           if op[0] == "M"
+                           or (op[0] == "EV" and op[2] == KIND_INSERTION))
+                out.append(("S", read_len - rest))
+                consumed = read_len - rest
+                ops = ops[1:]
+            for op in ops:
                 if op[0] == "M":
                     out.append(("M", op[1]))
                     consumed += op[1]
+                elif op[0] == "FUS":
+                    out.append(("S", read_len - consumed))
+                    return out
                 else:
                     _, ev, kind, gap = op
                     if kind == KIND_JUNCTION:
@@ -523,13 +534,23 @@ def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
     elif c.kind == KIND_FUSION:
         fusion_ev = c.ev
     elif c.kind == -2:
+        fus_pos2 = None
+        fus_dir = "ff"
         for op in c.chain_ops:
+            if op[0] == "FUS":
+                fus_pos2, fus_dir = op[1], op[2]
+                continue
             if op[0] != "EV":
                 continue
             if op[2] == KIND_JUNCTION and xs is None:
                 xs = "-" if events["antisense"][op[1]] else "+"
             if op[2] == KIND_FUSION and fusion_ev is None:
                 fusion_ev = op[1]
+        if fus_pos2 is not None:
+            rcid, rlocal = genome.global_to_contig(np.int64(fus_pos2))
+            xf = (f"XF:Z:{genome.names[cid]}-{genome.names[int(rcid)]} "
+                  f"{local + 1} {int(rlocal) + 1} {fus_dir}")
+            extra = (extra or []) + [xf]
     if fusion_ev is not None or (c.kind == KIND_FUSION and c.fpos2 >= 0):
         if fusion_ev is not None:
             pos2 = int(events["right"][fusion_ev])

@@ -196,9 +196,12 @@ def candidates_for_mate(fm, m: MateState, events, params, log) -> None:
                np.zeros((m.gs.rows, 0), bool))
     chain_cands = None
     if params.fusion_search and m.gs.rows and len(events["left"]):
-        from tophat_tpu.pipeline.chains import chain_stitch
+        from tophat_tpu.pipeline.chains import (chain_stitch,
+                                                cross_strand_chains)
 
         chain_cands = chain_stitch(fm, m.gs, m.seg_tables, events, params)
+        chain_cands += cross_strand_chains(fm, m.gs, m.seg_tables, events,
+                                           params)
         if chain_cands:
             log(f"chain stitch: {len(chain_cands)} multi-event chains")
     m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
