@@ -115,16 +115,29 @@ def realign_chunk(genome, readsg, lengths, ev_left, ev_right, ev_kind,
 
 
 def realign_events(genome, readsg, lengths, events, max_mm: int,
-                   chunk: int = 128):
+                   chunk: int = 128, backend: str = "auto"):
     """Host wrapper: chunk the event table to bound device memory.
 
     events: dict of numpy arrays (left, right, kind, ins_len, ins_seq,
-    valid). Returns (best_t, mm, ok) as (R, E) numpy arrays."""
+    valid). Returns (best_t, mm, ok) as (R, E) numpy arrays.
+
+    backend "pallas" (or "auto" on TPU) routes through the fused Pallas
+    kernel (ops/pallas/realign_kernel.py), grouping events by insertion
+    length; anything else uses the XLA conv path."""
     E = len(events["left"])
     R = readsg.shape[0]
     if E == 0:
         return (np.zeros((R, 0), np.int32), np.zeros((R, 0), np.int32),
                 np.zeros((R, 0), bool))
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and readsg.shape[1] >= 16 else "xla")
+    if backend == "pallas":
+        try:
+            return _realign_events_pallas(genome, readsg, lengths, events,
+                                          max_mm)
+        except Exception:  # Mosaic/compile issues: fall back to XLA conv
+            pass
     outs_t, outs_mm, outs_ok = [], [], []
     for s in range(0, E, chunk):
         e = min(s + chunk, E)
@@ -142,3 +155,36 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
         outs_ok.append(np.asarray(ok)[:, : e - s])
     return (np.concatenate(outs_t, 1), np.concatenate(outs_mm, 1),
             np.concatenate(outs_ok, 1))
+
+
+def _realign_events_pallas(genome, readsg, lengths, events, max_mm: int):
+    """Route realignment through the fused Pallas kernel, one call per
+    distinct insertion length (kernel requirement), scattering results back
+    into the (R, E) tables."""
+    from tophat_tpu.ops.pallas.realign_kernel import (prepare_inputs,
+                                                      realign_pallas)
+
+    R, L = readsg.shape
+    E = len(events["left"])
+    best_t = np.zeros((R, E), np.int32)
+    mm = np.full((R, E), 32767, np.int32)
+    ok = np.zeros((R, E), bool)
+
+    kinds = np.asarray(events["kind"])
+    ilen = np.where(kinds == KIND_INSERTION,
+                    np.asarray(events["ins_len"]), 0).astype(np.int32)
+    lengths_d = jnp.asarray(lengths)
+    for q in np.unique(ilen):
+        idx = np.nonzero(ilen == q)[0]
+        X, YL, YC = prepare_inputs(
+            genome, readsg, jnp.asarray(events["left"][idx]),
+            jnp.asarray(events["right"][idx]), jnp.asarray(kinds[idx]),
+            np.asarray(events["ins_seq"])[idx], int(q), L)
+        bt, m, o = realign_pallas(X, YL, YC, lengths_d, L=L, q=int(q),
+                                  max_mm=max_mm)
+        best_t[:, idx] = np.asarray(bt)
+        mm[:, idx] = np.asarray(m)
+        ok[:, idx] = np.asarray(o)
+    valid = np.asarray(events["valid"]).astype(bool)
+    ok &= valid[None, :]
+    return best_t, mm, ok
