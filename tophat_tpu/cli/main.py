@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tophat_tpu",
         description="TPU-native spliced read mapper (TopHat-compatible)")
     p.add_argument("index", help="genome FASTA (or prefix with .fa)")
-    p.add_argument("reads1", help="comma-separated reads files (mate 1)")
+    p.add_argument("reads1", nargs="?", default=None,
+                   help="comma-separated reads files (mate 1); may be "
+                        "omitted with --transcriptome-index -G to only "
+                        "build the transcriptome files")
     p.add_argument("reads2", nargs="?", default=None,
                    help="comma-separated reads files (mate 2)")
     p.add_argument("-o", "--output-dir", default="./tophat_out")
@@ -66,8 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gene model annotations (GTF/GFF2) — known "
                         "junctions auto-accepted")
     p.add_argument("--transcriptome-index", default=None,
-                   help="accepted for compatibility (the GTF junctions are "
-                        "used directly; no separate index is built)")
+                   help="dir/prefix of transcriptome data files (.fa, "
+                        ".fa.tlst, .gff, .ver) to build or reuse; known "
+                        "junctions feed the event table directly — no "
+                        "separate aligner index round-trip is needed")
     p.add_argument("--no-novel-juncs", action="store_true")
     p.add_argument("--no-coverage-search", action="store_true")
     p.add_argument("--coverage-search", action="store_true")
@@ -236,18 +241,59 @@ def main(argv=None):
     known = load_known_events(genome, args.insertions, args.deletions,
                               args.raw_juncs)
     gtf_accept = None
-    if args.gtf:
+    transcripts = None
+    gtf_path = args.gtf
+    if args.transcriptome_index:
+        # --transcriptome-index semantics (reference: src/tophat.py:3915-
+        # 3947): a dir gets the GTF basename appended; a valid prebuilt set
+        # is reused (its .gff becomes the annotation), otherwise the data
+        # files are (re)built from -G.
+        from tophat_tpu.io.gtf import (parse_gtf, validate_transcriptome,
+                                       write_transcriptome_files)
+
+        tprefix = args.transcriptome_index
+        if os.path.isdir(tprefix) or tprefix.endswith(os.sep):
+            if not gtf_path:
+                raise SystemExit("Error: --transcriptome-index names a "
+                                 "directory but no -G/--GTF was given")
+            base = os.path.basename(gtf_path)
+            base = base[: base.rfind(".")] if "." in base else base
+            os.makedirs(tprefix, exist_ok=True)
+            tprefix = os.path.join(tprefix, base)
+        if validate_transcriptome(tprefix):
+            logger.log(f"transcriptome index: reusing {tprefix}.*")
+            gtf_path = tprefix + ".gff"
+        elif gtf_path:
+            d = os.path.dirname(tprefix)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            transcripts = parse_gtf(gtf_path)
+            write_transcriptome_files(tprefix, genome, transcripts, gtf_path)
+            logger.log(f"transcriptome index: built {tprefix}.*")
+        else:
+            raise SystemExit(f"Error: transcriptome files at {tprefix!r} "
+                             "are missing/invalid and no -G/--GTF given")
+    if gtf_path:
         from tophat_tpu.io.gtf import gtf_junctions, parse_gtf
         from tophat_tpu.pipeline.juncs import merge_events
 
-        transcripts = parse_gtf(args.gtf)
+        if transcripts is None:
+            transcripts = parse_gtf(gtf_path)
         gtf_ev, gtf_accept = gtf_junctions(genome, transcripts)
-        logger_msg = (f"GTF: {len(transcripts)} transcripts, "
-                      f"{len(gtf_ev['left'])} known junctions")
+        logger.log(f"GTF: {len(transcripts)} transcripts, "
+                   f"{len(gtf_ev['left'])} known junctions")
         known = merge_events(known, gtf_ev) if known is not None else gtf_ev
 
-    if args.gtf:
-        logger.log(logger_msg)
+    if args.reads1 is None:
+        # transcriptome build-only invocation (reference:
+        # transcriptome_buildonly, src/tophat.py:3948-3952)
+        if not args.transcriptome_index:
+            raise SystemExit("Error: reads files required (or "
+                             "--transcriptome-index -G to build only)")
+        logger.log("Transcriptome files prepared. This was the only task "
+                   "requested.")
+        logger.stage("alldone")
+        return 0
 
     files1 = args.reads1.split(",")
     logger.stage("prep_reads")

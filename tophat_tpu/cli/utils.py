@@ -1,10 +1,13 @@
 """Small companion utilities mirroring the reference's helper tools:
-bed_to_juncs (scripts/bed_to_juncs), sam_juncs (src/sam_juncs.cpp) and
-juncs_db-style export of the event table.
+bed_to_juncs (scripts/bed_to_juncs), sam_juncs (src/sam_juncs.cpp),
+gtf_to_fasta (src/gtf_to_fasta.cpp) and map2gtf (src/map2gtf.cpp).
 
 Usage:
   python -m tophat_tpu.cli.utils bed_to_juncs < junctions.bed > out.juncs
   python -m tophat_tpu.cli.utils sam_juncs accepted_hits.sam
+  python -m tophat_tpu.cli.utils gtf_to_fasta genes.gtf genome.fa out.fa
+  python -m tophat_tpu.cli.utils map2gtf out.fa.tlst trans.sam out.sam \\
+      [genome.fa]
 """
 
 from __future__ import annotations
@@ -73,6 +76,82 @@ def sam_juncs(path: str, out=sys.stdout) -> int:
     return len(seen)
 
 
+def gtf_to_fasta(gtf_path: str, genome_path: str, out_fa: str) -> int:
+    """Build the transcriptome FASTA + .tlst model (reference binary:
+    src/gtf_to_fasta.cpp main / GTFToFasta.cpp:60 make_transcriptome;
+    same positional CLI: <gtf> <genome.fa> <out.fa>)."""
+    from tophat_tpu.index.fasta import read_fasta
+    from tophat_tpu.io.gtf import parse_gtf, write_transcriptome_files
+
+    genome = read_fasta(genome_path)
+    transcripts = parse_gtf(gtf_path)
+    prefix = out_fa[:-3] if out_fa.endswith(".fa") else out_fa
+    write_transcriptome_files(prefix, genome, transcripts, gtf_path,
+                              with_ver=False)
+    return len(transcripts)
+
+
+def map2gtf(tlst_path: str, in_sam: str, out_path, genome_path=None) -> int:
+    """Transcriptome→genome coordinate conversion of a SAM file
+    (reference binary: src/map2gtf.cpp:432 main / :234
+    trans_to_genomic_coords). RNAME must be the numeric transcript index
+    (or the transcript_id) from the .tlst. Dedups per-read identical
+    placements like Map2GTF does."""
+    from tophat_tpu.io.gtf import load_tlst, trans_to_genomic
+
+    transcripts = load_tlst(tlst_path)
+    by_tid = {t.tid: t for t in transcripts if t is not None}
+    close_out = False
+    if isinstance(out_path, str):
+        out = open(out_path, "w")
+        close_out = True
+    else:
+        out = out_path
+    n = 0
+    try:
+        if genome_path:
+            from tophat_tpu.index.fasta import read_fasta
+            from tophat_tpu.io.sam import header_lines
+
+            for line in header_lines(read_fasta(genome_path),
+                                     sort_order="unsorted"):
+                out.write(line + "\n")
+        seen = set()
+        with open(in_sam) as f:
+            for line in f:
+                if line.startswith("@"):
+                    continue
+                t = line.rstrip("\n").split("\t")
+                if len(t) < 11 or t[2] == "*" or t[5] == "*":
+                    continue
+                tr = (transcripts[int(t[2])] if t[2].isdigit()
+                      and int(t[2]) < len(transcripts) else by_tid.get(t[2]))
+                if tr is None:
+                    continue
+                cigar = [(op, int(num)) for num, op in _CIG.findall(t[5])]
+                try:
+                    gpos, gcigar = trans_to_genomic(
+                        tr.exons, int(t[3]) - 1, cigar)
+                except ValueError:
+                    continue
+                cig_str = "".join(f"{ln}{op}" for op, ln in gcigar)
+                key = (t[0], tr.chrom, gpos, cig_str)
+                if key in seen:
+                    continue
+                seen.add(key)
+                t[2], t[3], t[5] = tr.chrom, str(gpos + 1), cig_str
+                # strip SECONDARY like trans_to_genomic_coords does
+                t[1] = str(int(t[1]) & ~0x100)
+                if any(op == "N" for op, _ in gcigar):
+                    t.append(f"XS:A:{tr.strand}")
+                out.write("\t".join(t) + "\n")
+                n += 1
+    finally:
+        if close_out:
+            out.close()
+    return n
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -83,6 +162,11 @@ def main(argv=None):
         bed_to_juncs()
     elif cmd == "sam_juncs":
         sam_juncs(argv[1])
+    elif cmd == "gtf_to_fasta":
+        gtf_to_fasta(argv[1], argv[2], argv[3])
+    elif cmd == "map2gtf":
+        genome = argv[4] if len(argv) > 4 else None
+        map2gtf(argv[1], argv[2], argv[3], genome)
     else:
         print(f"unknown utility {cmd!r}", file=sys.stderr)
         return 2

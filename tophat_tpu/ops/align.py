@@ -28,7 +28,10 @@ from tophat_tpu.ops.search import backward_search, resolve_sa
 from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
                                    same_contig)
 
-NEG = jnp.int32(2**30)  # sentinel sort key for invalid candidates
+# sentinel sort key for invalid candidates (host int: creating a device
+# array at import time would trigger TPU backend init for CLI paths that
+# never touch the device, e.g. --transcriptome-index build-only)
+NEG = np.int32(2**30)
 
 
 @jax.tree_util.register_dataclass
