@@ -29,3 +29,20 @@ def test_fusion_inter_recall(tmp_path):
     assert os.path.exists(tmp_path / "fusions.out")
     fus = open(tmp_path / "fusions.out").read()
     assert "Scchr01-Scchr02" in fus and "\tff\t" in fus
+
+    # full print_fusions format (reference: fusions.cpp:347-431): 7
+    # @-separated sections — stats, diffs, two 50+50bp flank sequence
+    # pairs, left/right per-base support histograms, pair support
+    for line in fus.splitlines():
+        sec = line.split("\t@\t")
+        assert len(sec) == 7
+        lead = sec[0].split("\t")
+        assert len(lead) == 11  # chr-chr l r dir cnt pc pcf uc lext rext symm
+        assert lead[3] in ("ff", "fr", "rf", "rr")
+        assert len(sec[1].split()) == 5          # diffs at 5 window sizes
+        f1 = sec[2].split()
+        f2 = sec[3].split()
+        assert len(f1) == 2 and len(f1[0]) == 50 and len(f1[1]) == 50
+        assert len(f2) == 2 and len(f2[0]) == 50 and len(f2[1]) == 50
+        assert len(sec[4].split()) == 50         # left_bases histogram
+        assert len(sec[5].split()) == 50         # right_bases histogram

@@ -169,8 +169,21 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                         batch.quals[r][:rl] or b"*", []))
     w.close()
 
-    _write_beds(out_dir, genome, events, final_stats,
-                fusion_search=params.fusion_search)
+    _write_beds(out_dir, genome, events, final_stats)
+    if params.fusion_search:
+        from tophat_tpu.pipeline.fusion_stats import build_fusion_table
+        ft = build_fusion_table(genome, events, params,
+                                [(batch1, selected[0]),
+                                 (batch2, selected[1])])
+        # mate-pair evidence (pair_support, fusions.cpp:497)
+        for r in range(n):
+            s1 = selected[0].get(r, []) if r < batch1.size else []
+            s2 = selected[1].get(r, []) if r < batch2.size else []
+            if (s1 and s2 and len(s1) <= params.fusion_multipairs
+                    and len(s2) <= params.fusion_multipairs):
+                ft.add_pair(s1[0], s2[0], int(batch1.lengths[r]),
+                            int(batch2.lengths[r]))
+        ft.write(os.path.join(out_dir, "fusions.out"))
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
         f.write(f"Aligned pairs: {n_pairs}\n")
         f.write(f"Half-mapped reads: {n_single}\n")

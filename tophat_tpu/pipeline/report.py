@@ -504,8 +504,11 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
             f.write(ln + "\n")
     write_bam_outputs(out_dir, genome, parts, bam_recs)
 
-    _write_beds(out_dir, genome, events, final_stats,
-                fusion_search=params.fusion_search)
+    _write_beds(out_dir, genome, events, final_stats)
+    if params.fusion_search:
+        from tophat_tpu.pipeline.fusion_stats import build_fusion_table
+        build_fusion_table(genome, events, params, parts).write(
+            os.path.join(out_dir, "fusions.out"))
 
     with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
         pct = 100.0 * n_aligned_reads / max(total, 1)
@@ -615,9 +618,8 @@ def write_bam_outputs(out_dir, genome, parts, bam_recs):
     w.close()
 
 
-def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats],
-                fusion_search: bool = False):
-    juncs, dels, ins, fus = [], [], [], []
+def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats]):
+    juncs, dels, ins = [], [], []
     for e, st in sorted(stats.items(),
                         key=lambda kv: (int(events["left"][kv[0]]),
                                         int(events["right"][kv[0]]))):
@@ -636,18 +638,6 @@ def _write_beds(out_dir, genome, events, stats: Dict[int, EventStats],
             seq = events["ins_seq"][e]
             s = "".join("ACGTN"[b] for b in seq if b >= 0)
             ins.append((name, left - off, st, s))
-        elif kind == KIND_FUSION:
-            rcid, r_local = genome.global_to_contig(np.int64(right))
-            fus.append((name, genome.names[int(rcid)], left - off,
-                        int(r_local), st))
-
-    if fusion_search:
-        # leading columns of the reference format (fusions.cpp
-        # print_fusions: ref1-ref2, left, right, dir, support, ...)
-        with open(os.path.join(out_dir, "fusions.out"), "w") as f:
-            for n1, n2, l, r, st in fus:
-                f.write(f"{n1}-{n2}\t{l}\t{r}\tff\t{st.supporting}"
-                        f"\t0\t0\t0\t0\t0\t0.000000\n")
 
     with open(os.path.join(out_dir, "junctions.bed"), "w") as f:
         f.write('track name=junctions description="TopHat junctions"\n')
