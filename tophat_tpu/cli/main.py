@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-novel-juncs", action="store_true")
     p.add_argument("--no-coverage-search", action="store_true")
     p.add_argument("--coverage-search", action="store_true")
+    p.add_argument("--microexon-search", action="store_true",
+                   help="window search for junctions flanking microexons "
+                        "(reference: align_microexon_segs)")
+    p.add_argument("--butterfly-search", action="store_true",
+                   help="mer-extendable GT-AG pairing across coverage "
+                        "islands (reference: pair_covered_sites)")
+    p.add_argument("--min-coverage-intron", type=int, default=50)
+    p.add_argument("--max-coverage-intron", type=int, default=20000)
     p.add_argument("--bowtie1", action="store_true",
                    help="accepted for compatibility; no external aligner")
     p.add_argument("--fusion-search", action="store_true")
@@ -226,6 +234,10 @@ def main(argv=None):
         quals_scale=("phred64" if args.phred64_quals
                      else "solexa" if args.solexa_quals else "phred33"),
         coverage_search=args.coverage_search or not args.no_coverage_search,
+        microexon_search=args.microexon_search,
+        butterfly_search=args.butterfly_search,
+        min_coverage_intron=args.min_coverage_intron,
+        max_coverage_intron=args.max_coverage_intron,
         fusion_search=args.fusion_search,
         fusion_anchor_length=args.fusion_anchor_length,
         fusion_min_dist=args.fusion_min_dist,

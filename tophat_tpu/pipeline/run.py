@@ -151,6 +151,27 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
                     log(f"coverage search: {len(cov_ev['left'])} "
                         f"island-end pairing candidates")
                 tables.append(cov_ev)
+    if params.butterfly_search or params.microexon_search:
+        from tophat_tpu.pipeline.butterfly import (butterfly_search_events,
+                                                   microexon_events)
+
+        for m in mates:
+            if m.seg_tables is None:
+                continue
+            if params.butterfly_search:
+                bev = butterfly_search_events(fm, genome, m.gs,
+                                              m.seg_tables, params)
+                if len(bev["left"]):
+                    log(f"butterfly search: {len(bev['left'])} "
+                        f"extendable candidates")
+                tables.append(bev)
+            if params.microexon_search:
+                mev = microexon_events(fm, genome, m.gs, m.seg_tables,
+                                       params)
+                if len(mev["left"]):
+                    log(f"microexon search: {len(mev['left'])} "
+                        f"window candidates")
+                tables.append(mev)
     if known_events is not None:
         tables.append(known_events)
     events = merge_events(*tables)
