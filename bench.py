@@ -90,8 +90,11 @@ def main():
     from tophat_tpu.ops.align import kmer_fast_ok
 
     fast = kmer_fast_ok(fm, READ_LEN, 2)
+    # narrow-tier budget (hits_per_seed=8): the steady-state configuration
+    # of align_reads_adaptive — repeat-family reads that truncate re-run at
+    # a wide budget, which this repeat-free synthetic genome never triggers
     run = lambda b: align_reads(fm_d, b[0], b[1], b[2], offsets,
-                                max_mismatches=2, hits_per_seed=16,
+                                max_mismatches=2, hits_per_seed=8,
                                 max_alignments=16, kmer_fast=fast)
     print("# compiling...", file=sys.stderr, flush=True)
     out = run(batches[0])          # compile + warmup

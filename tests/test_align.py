@@ -92,3 +92,45 @@ def test_align_with_sampled_sa(rng):
     b = align_reads(fm_samp, rf, rr, lens, genome.offsets, max_mismatches=2)
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_align_reads_adaptive_repeats():
+    """align_reads_adaptive: reads from a high-copy repeat truncate the
+    narrow tier and must come back with the wide tier's full placement
+    set (equal to a direct wide-budget run)."""
+    import numpy as np
+    from tophat_tpu.index.fasta import Genome
+    from tophat_tpu.index.fm import build_fm_index
+    from tophat_tpu.ops.align import (align_reads, align_reads_adaptive,
+                                      pad_reads)
+
+    rng = np.random.default_rng(21)
+    unit = rng.integers(0, 4, 200).astype(np.int8)
+    # 24 copies of the repeat unit embedded in random sequence
+    parts = []
+    for _ in range(24):
+        parts.append(rng.integers(0, 4, 500).astype(np.int8))
+        parts.append(unit)
+    parts.append(rng.integers(0, 4, 500).astype(np.int8))
+    codes = np.concatenate(parts)
+    genome = Genome(codes=codes, offsets=np.array([0, len(codes)]),
+                    names=["chrR"])
+    fm = build_fm_index(genome)
+    # reads from inside the repeat (multi-mapping) + unique reads
+    seqs = [unit[50:110]] * 4 + [codes[200:260], codes[900:960]]
+    rf, rr, lens = pad_reads(seqs)
+    off = np.array([0, len(codes)], np.int32)
+    ad = align_reads_adaptive(fm, rf, rr, lens, off, max_mismatches=2,
+                              narrow_hits=8, wide_hits=32)
+    wide = align_reads(fm, rf, rr, lens, off, max_mismatches=2,
+                       hits_per_seed=32)
+
+    def placements(a, i):
+        v = np.asarray(a.valid)[i]
+        return set(zip(np.asarray(a.pos)[i][v].tolist(),
+                       np.asarray(a.strand)[i][v].tolist()))
+
+    for i in range(len(seqs)):
+        assert placements(ad, i) == placements(wide, i)
+    # the repeat reads really do have 24 placements
+    assert len(placements(ad, 0)) == 24

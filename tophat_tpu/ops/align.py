@@ -74,6 +74,64 @@ def _piece_queries(reads, lengths, num_pieces: int, piece_len: int):
     return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s, plen
 
 
+def _rolling_kmer_keys(reads, k: int):
+    """keys[b, i] = base-4 value of reads[b, i-k+1 .. i] and a validity
+    mask (all k codes in 0..3). Pure shifted elementwise ops — replaces a
+    per-element piece gather that dominated the aligner's runtime on TPU
+    (element gathers don't vectorize; k shift+multiply-adds do)."""
+    B, L = reads.shape
+    r = reads.astype(jnp.int32)
+    key = jnp.zeros((B, L), jnp.int32)
+    ok = jnp.ones((B, L), bool)
+    for t in range(k):
+        # x at column i = reads[:, i - t] (out-of-range -> invalid)
+        if t:
+            x = jnp.pad(r, ((0, 0), (t, 0)), constant_values=-1)[:, :L]
+        else:
+            x = r
+        key = key + jnp.clip(x, 0, 3) * (4 ** t)
+        ok &= (x >= 0) & (x <= 3)
+    return key, ok
+
+
+def _fast_seed_intervals(fm, reads, lengths, P: int, span: int):
+    """SA intervals for the last `span` characters of each of the P
+    pigeonhole pieces, via the k-mer table + rolling keys. Requires
+    span >= k and every piece length >= span (kmer_fast_ok).
+
+    Returns (lo, hi, cand_base): (B, P) interval bounds and the candidate
+    read-start offset base (piece_end - span)."""
+    k = fm.kmer_k
+    B, L = reads.shape
+    keys, kok = _rolling_kmer_keys(reads, k)
+    j = jnp.arange(1, P + 1, dtype=jnp.int32)
+    e = (j[None, :] * lengths[:, None]) // P          # piece ends (B, P)
+    s = ((j - 1)[None, :] * lengths[:, None]) // P
+    pos = jnp.clip(e - 1, 0, L - 1)
+    key_e = jnp.take_along_axis(keys, pos, axis=1)     # (B, P)
+    ok = jnp.take_along_axis(kok, pos, axis=1) & (e - s >= span) & (e >= span)
+    lo = jnp.where(ok, jnp.asarray(fm.kmer_lo)[key_e], 0)
+    hi = jnp.where(ok, jnp.asarray(fm.kmer_hi)[key_e], 0)
+    if span > k:
+        # extend the table interval by the span-k characters preceding the
+        # k-mer window (backward search continues leftward)
+        from tophat_tpu.ops.rank import rank
+
+        C = jnp.asarray(fm.C)
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        for t in range(span - k):
+            col = jnp.clip(e - k - 1 - t, 0, L - 1)
+            c = reads[b_idx, col].astype(jnp.int32)
+            is_n = c > 3
+            do = (c >= 0) & ~is_n & (lo < hi)
+            cc = jnp.clip(c, 0, 3)
+            nlo = jnp.where(do, C[cc] + rank(fm, cc, lo), lo)
+            nhi = jnp.where(do, C[cc] + rank(fm, cc, hi), hi)
+            hi = jnp.where(is_n, nlo, nhi)
+            lo = nlo
+    return lo, hi, e - span
+
+
 def seed_span(fm, max_mismatches: int, read_len: int):
     """Width of the shortened seed search (see _align_one_strand)."""
     P = max_mismatches + 1
@@ -114,8 +172,6 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     P = max_mismatches + 1
     piece_len = (L + P - 1) // P + 1
 
-    q, piece_start, plen = _piece_queries(reads, lengths, P, piece_len)
-
     # seed shortening: an exact piece implies an exact k-mer suffix of that
     # piece, so searching only the last `span` piece characters preserves
     # pigeonhole completeness — verification rejects the extra candidates.
@@ -123,22 +179,26 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     # must enable this only when kmer_fast_ok holds for the batch's minimum
     # read length (shorter pieces would pad into the k-mer window).
     if kmer_fast:
+        # rolling-key path: no per-element piece gather at all
         span = seed_span(fm, max_mismatches, L)
+        lo, hi, cand_base = _fast_seed_intervals(fm, reads, lengths, P,
+                                                 span)
     else:
         span = piece_len
-    lo, hi = backward_search(fm, q[:, :, piece_len - span:]
-                             .reshape(B * P, span))
-    lo = lo.reshape(B, P)
-    hi = hi.reshape(B, P)
+        q, piece_start, plen = _piece_queries(reads, lengths, P, piece_len)
+        lo, hi = backward_search(fm, q[:, :, piece_len - span:]
+                                 .reshape(B * P, span))
+        lo = lo.reshape(B, P)
+        hi = hi.reshape(B, P)
+        cand_base = piece_start + jnp.maximum(plen - span, 0)
     truncated = jnp.any((hi - lo) > hits_per_seed, axis=1)
 
     h = jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx = lo[:, :, None] + h[None, None, :]                    # (B, P, H)
     seed_valid = idx < hi[:, :, None]
     hitpos = resolve_sa(fm, idx)
-    # searched substring starts max(0, plen - span) into the piece
-    cand = (hitpos - piece_start[:, :, None]
-            - jnp.maximum(plen - span, 0)[:, :, None])         # read start
+    # searched substring starts cand_base into the read
+    cand = hitpos - cand_base[:, :, None]                      # read start
     cand = jnp.where(seed_valid, cand, -NEG).reshape(B, P * hits_per_seed)
 
     # dedup identical candidate positions (several pieces exact at same spot)
@@ -220,6 +280,55 @@ def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
     sl = slice(0, max_hits)
     return (pos_s[:, sl], mm_s[:, sl].astype(jnp.int8),
             valid_s[:, sl].astype(bool), n_hits, trunc)
+
+
+def align_reads_adaptive(fm, reads_f, reads_r, lengths, offsets, *,
+                         max_mismatches: int = 2, max_alignments: int = 64,
+                         kmer_fast: bool = False,
+                         narrow_hits: int = 8,
+                         wide_hits: int = 32) -> Alignments:
+    """Two-tier alignment: a narrow seed-hit budget for the batch (cheap —
+    most reads have O(1) placements), then a wide re-run for only the rows
+    whose seeds truncated (repeat-family reads). Matches align_reads with
+    hits_per_seed=wide_hits on every read, at close to narrow-budget cost.
+
+    Host-side control flow: the re-run subset is padded to a power-of-two
+    bucket so recompilation stays bounded.
+    """
+    al = align_reads(fm, reads_f, reads_r, lengths, offsets,
+                     max_mismatches=max_mismatches,
+                     hits_per_seed=narrow_hits,
+                     max_alignments=max_alignments, kmer_fast=kmer_fast)
+    trunc = np.asarray(al.truncated)
+    if not trunc.any():
+        return al
+    idx = np.nonzero(trunc)[0]
+    bt = 1 << max(3, int(len(idx) - 1).bit_length())
+    pad = np.resize(idx, bt)
+    wide = align_reads(fm, np.asarray(reads_f)[pad],
+                       np.asarray(reads_r)[pad],
+                       np.asarray(lengths)[pad], offsets,
+                       max_mismatches=max_mismatches,
+                       hits_per_seed=wide_hits,
+                       max_alignments=max_alignments, kmer_fast=kmer_fast)
+    k = len(idx)
+    w_wide = np.asarray(wide.pos).shape[1]
+    out = {}
+    for f, fill in (("pos", 0), ("strand", 0), ("mm", 0), ("valid", False)):
+        a = np.asarray(getattr(al, f))
+        if a.shape[1] < w_wide:  # narrow tier compacted to fewer slots
+            pad_w = np.full((a.shape[0], w_wide - a.shape[1]), fill,
+                            a.dtype)
+            a = np.concatenate([a, pad_w], axis=1)
+        else:
+            a = a.copy()
+        a[idx] = np.asarray(getattr(wide, f))[:k, :a.shape[1]]
+        out[f] = a
+    for f in ("n_hits", "truncated"):
+        a = np.asarray(getattr(al, f)).copy()
+        a[idx] = np.asarray(getattr(wide, f))[:k]
+        out[f] = a
+    return Alignments(**out)
 
 
 def pad_reads(seqs, max_len: int | None = None):

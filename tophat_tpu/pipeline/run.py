@@ -92,12 +92,15 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     from tophat_tpu.ops.align import kmer_fast_ok
 
     min_len = int(lengths.min()) if len(lengths) else 0
-    aln = align_reads(fm, reads_f, reads_r, lengths, offsets,
-                      max_mismatches=params.read_mismatches,
-                      hits_per_seed=params.hits_per_seed,
-                      max_alignments=params.max_alignments,
-                      kmer_fast=kmer_fast_ok(fm, min_len,
-                                             params.read_mismatches))
+    from tophat_tpu.ops.align import align_reads_adaptive
+
+    aln = align_reads_adaptive(
+        fm, reads_f, reads_r, lengths, offsets,
+        max_mismatches=params.read_mismatches,
+        max_alignments=params.max_alignments,
+        kmer_fast=kmer_fast_ok(fm, min_len, params.read_mismatches),
+        narrow_hits=min(8, params.hits_per_seed),
+        wide_hits=params.hits_per_seed)
     valid = np.asarray(aln.valid) & keep[:, None]
     n_hits = np.where(keep, np.asarray(aln.n_hits), 0)
     aln = Alignments(pos=np.asarray(aln.pos), strand=np.asarray(aln.strand),
