@@ -229,30 +229,47 @@ def decode_record(buf: bytes, off: int) -> Tuple[BamRecord, int]:
 
 
 class BamWriter:
+    """BAM writer: records buffer in memory; compression happens at
+    close() via the native multithreaded BGZF encoder (native/bgzf.cpp —
+    the vendored-libbam + pigz role) with a pure-Python fallback."""
+
     def __init__(self, path: str, header_text: str, ref_names: List[str],
                  ref_lengths: List[int]):
-        self.f = open(path, "wb")
-        self.w = BgzfWriter(self.f)
+        self.path = path
+        self.buf = bytearray()
         text = header_text.encode()
         hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
         hdr += struct.pack("<i", len(ref_names))
         for name, ln in zip(ref_names, ref_lengths):
             nb = name.encode() + b"\x00"
             hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(ln))
-        self.w.write(hdr)
+        self.buf += hdr
 
     def write(self, rec: BamRecord) -> None:
-        self.w.write(encode_record(rec))
+        self.buf += encode_record(rec)
 
     def close(self) -> None:
-        self.w.close()
-        self.f.close()
+        from tophat_tpu.native import bgzf as native_bgzf
+
+        if native_bgzf.available:
+            native_bgzf.write_file(self.path, bytes(self.buf))
+        else:
+            with open(self.path, "wb") as f:
+                w = BgzfWriter(f)
+                w.write(bytes(self.buf))
+                w.close()
+        self.buf = bytearray()
 
 
 def read_bam(path: str):
     """Returns (header_text, ref_names, ref_lengths, records)."""
-    with open(path, "rb") as f:
-        data = b"".join(bgzf_blocks(f))
+    from tophat_tpu.native import bgzf as native_bgzf
+
+    if native_bgzf.available:
+        data = native_bgzf.read_file(path)
+    else:
+        with open(path, "rb") as f:
+            data = b"".join(bgzf_blocks(f))
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM file")
     (l_text,) = struct.unpack_from("<i", data, 4)

@@ -18,12 +18,13 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _build_and_load(name: str):
+def _build_and_load(name: str, extra_flags=()):
     src = os.path.join(_DIR, f"{name}.cpp")
     so = os.path.join(_DIR, f"lib{name}.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so]
+        cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
+                "-o", so] + list(extra_flags))
         subprocess.run(cmd, check=True, capture_output=True)
     return ctypes.CDLL(so)
 
@@ -58,3 +59,64 @@ class _Sais:
 
 
 sais = _Sais()
+
+
+class _Bgzf:
+    """Multithreaded BGZF encode/decode (bgzf.cpp) — the libbam-bgzf +
+    pigz role. `available` degrades to the pure-Python writer on any
+    build failure."""
+
+    def __init__(self):
+        self._lib = None
+        self._failed = False
+
+    @property
+    def lib(self):
+        if self._lib is None and not self._failed:
+            try:
+                self._lib = _build_and_load("bgzf", extra_flags=["-lz",
+                                                                 "-pthread"])
+                self._lib.bgzf_write_file.restype = ctypes.c_int
+                self._lib.bgzf_write_file.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+                self._lib.bgzf_read_file.restype = ctypes.c_int64
+                self._lib.bgzf_read_file.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64]
+            except Exception:
+                self._failed = True
+        return self._lib
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def write_file(self, path: str, data: bytes, level: int = 6,
+                   nthreads: int = 0) -> None:
+        if nthreads <= 0:
+            nthreads = os.cpu_count() or 1
+        buf = np.frombuffer(data, np.uint8)
+        rc = self.lib.bgzf_write_file(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(data)), level, nthreads)
+        if rc != 0:
+            raise OSError(f"bgzf_write_file({path!r}) failed ({rc})")
+
+    def read_file(self, path: str) -> bytes:
+        cap = max(4 * os.path.getsize(path) + (1 << 16), 1 << 20)
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = self.lib.bgzf_read_file(
+                path.encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(cap))
+            if n == -2:
+                cap *= 4
+                continue
+            if n < 0:
+                raise OSError(f"bgzf_read_file({path!r}) failed")
+            return out[:n].tobytes()
+
+
+bgzf = _Bgzf()
