@@ -1,0 +1,123 @@
+"""FM-index range sharding over the genome axis.
+
+When the index outgrows one chip's HBM (or to scale search bandwidth),
+the genome is cut into equal ranges with an overlap margin; each device
+on the "genome" mesh axis holds the FM-index of its range and searches
+the full read batch locally; per-shard hits rebase to global coordinates
+and merge with an all_gather over the genome axis. This is the "index
+sharding (TP-like) with lookups routed by collectives" design option
+recorded in SURVEY.md §2.5 — the reference itself has no analog (bowtie
+maps everything against one whole-genome index, src/tophat.py:2286).
+
+Correctness contract: any alignment whose start lies in shard i's owned
+range [i*W, (i+1)*W) is fully contained in shard i's slice because the
+slice extends `overlap` >= max_read_len - 1 bases past the owned range;
+hits starting inside the margin are dropped locally (the next shard owns
+them), so the merged set equals the single-index result exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tophat_tpu.index.fasta import Genome
+from tophat_tpu.index.fm import FMIndex, build_fm_index
+from tophat_tpu.parallel.dist import shard_map
+from tophat_tpu.parallel.mesh import GENOME_AXIS, READS_AXIS
+from jax.sharding import PartitionSpec as P
+
+
+def build_sharded_fm(genome: Genome, n_shards: int, overlap: int,
+                     kmer_k: int = 0) -> Tuple[FMIndex, np.ndarray]:
+    """Build n_shards range sub-indexes, stacked leaf-wise on a leading
+    shard axis (so one FMIndex pytree shards over the mesh's genome axis
+    with PartitionSpec(GENOME_AXIS) on every leaf).
+
+    Returns (stacked_fm, shard_starts). All slices pad to equal width;
+    padding is code 0 — spurious seed hits into padding start at local
+    positions >= the owned width and are dropped by the ownership filter.
+    """
+    codes = np.asarray(genome.codes)
+    n = codes.shape[0]
+    w = (n + n_shards - 1) // n_shards          # owned width
+    width = w + overlap                          # slice width (padded)
+    subs = []
+    starts = np.arange(n_shards, dtype=np.int64) * w
+    for i in range(n_shards):
+        s = int(starts[i])
+        sl = codes[s: min(n, s + width)]
+        if sl.shape[0] < width:
+            sl = np.concatenate(
+                [sl, np.zeros(width - sl.shape[0], np.int8)])
+        sub = build_fm_index(Genome(codes=sl,
+                                    offsets=np.array([0, width]),
+                                    names=["shard"]), kmer_k=kmer_k)
+        subs.append(sub)
+    leaves = [jax.tree_util.tree_leaves(s) for s in subs]
+    treedef = jax.tree_util.tree_structure(subs[0])
+    stacked = [np.stack([leaves[i][j] for i in range(n_shards)])
+               for j in range(len(leaves[0]))]
+    return jax.tree_util.tree_unflatten(treedef, stacked), starts
+
+
+def make_sharded_align(mesh, *, owned_width: int, max_mismatches: int = 2,
+                       hits_per_seed: int = 16, max_alignments: int = 16,
+                       kmer_fast: bool = False):
+    """Jitted fn(fm_stacked, shard_starts, offsets, reads_f, reads_r,
+    lengths) -> (pos, strand, mm, valid, n_hits) with reads sharded over
+    READS_AXIS, the index sharded over GENOME_AXIS, outputs sharded over
+    reads and replicated over genome."""
+    from tophat_tpu.ops.align import NEG, align_reads
+    from tophat_tpu.ops.verify import same_contig
+
+    ng = mesh.shape[GENOME_AXIS]
+
+    def local(fm, starts, offsets, reads_f, reads_r, lengths):
+        fm1 = jax.tree_util.tree_map(lambda x: x[0], fm)
+        start = starts[0]
+        # search against the local sub-index in local coordinates; the
+        # sub-index is one padded contig, so pass trivial local offsets
+        # and apply the real contig filter after rebasing
+        local_off = jnp.asarray([0, fm1.n], jnp.int32)
+        al = align_reads(fm1, reads_f, reads_r, lengths, local_off,
+                         max_mismatches=max_mismatches,
+                         hits_per_seed=hits_per_seed,
+                         max_alignments=max_alignments,
+                         kmer_fast=kmer_fast)
+        owned = al.valid & (al.pos < owned_width)
+        gpos = al.pos + start.astype(al.pos.dtype)
+        owned &= same_contig(offsets, gpos, lengths[:, None])
+        gpos = jnp.where(owned, gpos, -NEG)
+
+        # merge across genome shards: gather all shards' tables and
+        # compact valid-first, position-sorted
+        pos_g = jax.lax.all_gather(gpos, GENOME_AXIS, axis=1, tiled=True)
+        st_g = jax.lax.all_gather(al.strand.astype(jnp.int32),
+                                  GENOME_AXIS, axis=1, tiled=True)
+        mm_g = jax.lax.all_gather(al.mm.astype(jnp.int32), GENOME_AXIS,
+                                  axis=1, tiled=True)
+        va_g = jax.lax.all_gather(owned.astype(jnp.int32), GENOME_AXIS,
+                                  axis=1, tiled=True)
+        inval = 1 - va_g
+        _, st_s, pos_s, mm_s, va_s = jax.lax.sort(
+            (inval, st_g, pos_g, mm_g, va_g), dimension=1, num_keys=3)
+        sl = slice(0, max_alignments)
+        n_hits = va_g.sum(axis=1).astype(jnp.int32)
+        return (pos_s[:, sl], st_s[:, sl].astype(jnp.int8),
+                mm_s[:, sl].astype(jnp.int8), va_s[:, sl].astype(bool),
+                n_hits)
+
+    fn = shard_map(
+        local, mesh,
+        in_specs=(P(GENOME_AXIS),  # prefix spec: every FMIndex leaf
+                  P(GENOME_AXIS), P(), P(READS_AXIS),
+                  P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                   P(READS_AXIS), P(READS_AXIS)))
+    return jax.jit(fn)
