@@ -47,15 +47,38 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
 
     rng = np.random.default_rng(1)
     selected: List[List[List[Candidate]]] = []
+    rescue: List[Dict[int, List[Candidate]]] = []
     for mi, m in enumerate(mates):
         sel = {}
+        res = {}
         for r, clist in m.cands.items():
             usable = [c for c in clist
                       if (all(e in accepted for e in c.chain_events)
                           if c.kind == -2
                           else (c.ev < 0 or c.ev in accepted))]
-            sel[r] = select_best(usable, params.max_multihits, rng)
+            strict = [c for c in usable if not c.pair_only]
+            sel[r] = select_best(strict, params.max_multihits, rng)
+            res[r] = [c for c in usable if c.pair_only]
         selected.append(sel)
+        rescue.append(res)
+
+    # mate-pair rescue: a mate whose only alignment is a short-3'-anchor
+    # spliced candidate keeps it when the other mate maps and anchors the
+    # pair (gold test_Paired 21M157N3M records; the pair_best_alignments
+    # role for half-mapped pairs, reference tophat_reports.cpp:358)
+    n = max(batch1.size, batch2.size)
+    for r in range(n):
+        for mi, other_mi in ((0, 1), (1, 0)):
+            if selected[mi].get(r) or not selected[other_mi].get(r):
+                continue
+            pool = rescue[mi].get(r, [])
+            if not pool:
+                continue
+            mate_c = selected[other_mi][r][0]
+            best = max(pool, key=lambda c: _pair_key(
+                *((c, mate_c) if mi == 0 else (mate_c, c)),
+                params.inner_dist_mean))
+            selected[mi][r] = [best]
 
     final_stats: Dict[int, EventStats] = {}
     records = []

