@@ -249,6 +249,12 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     logger = StageLogger(out_dir, argv=argv or sys.argv[1:])
 
+    # multi-device: shard every device stage over a reads-axis mesh when
+    # more than one chip is visible (parallel/auto.py; the TPU analog of
+    # the reference's -p/--num-threads read-range fan-out, utils.cpp:22)
+    from tophat_tpu.parallel import auto
+    auto.auto_activate(log=logger.log)
+
     genome = read_fasta(resolve_genome_path(args.index))
     known = load_known_events(genome, args.insertions, args.deletions,
                               args.raw_juncs)

@@ -223,10 +223,10 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
 
 @partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
                                    "max_alignments", "kmer_fast"))
-def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
-                max_mismatches: int = 2, hits_per_seed: int = 32,
-                max_alignments: int = 64,
-                kmer_fast: bool = False) -> Alignments:
+def _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, *,
+                     max_mismatches: int = 2, hits_per_seed: int = 32,
+                     max_alignments: int = 64,
+                     kmer_fast: bool = False) -> Alignments:
     """Align a batch both strands; reads_r must be revcomp(reads_f) with the
     same per-read lengths (padding handled by the caller: both arrays are
     LEFT-aligned code arrays padded with -1).
@@ -262,14 +262,33 @@ def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
         n_hits=n_hits, truncated=tf | tr)
 
 
+def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
+                max_mismatches: int = 2, hits_per_seed: int = 32,
+                max_alignments: int = 64,
+                kmer_fast: bool = False) -> Alignments:
+    """align (see _align_reads_jit); with an active multi-device mesh
+    (parallel/auto.py) the batch is sharded over the reads axis and runs
+    SPMD — the TPU analog of the reference's per-thread read ranges
+    (src/utils.cpp:22)."""
+    from tophat_tpu.parallel import auto
+
+    kw = dict(max_mismatches=max_mismatches, hits_per_seed=hits_per_seed,
+              max_alignments=max_alignments, kmer_fast=kmer_fast)
+    if auto.active() is None:
+        return _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, **kw)
+    (rf, rr, ln), B = auto.shard_rows(reads_f, reads_r, lengths)
+    out = _align_reads_jit(auto.replicated(fm), rf, rr, ln,
+                           auto.replicated(offsets), **kw)
+    return Alignments(pos=out.pos[:B], strand=out.strand[:B], mm=out.mm[:B],
+                      valid=out.valid[:B], n_hits=out.n_hits[:B],
+                      truncated=out.truncated[:B])
+
+
 @partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
                                    "max_hits"))
-def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
-                       hits_per_seed: int, max_hits: int):
-    """Forward-text-only variant for rows that are already in genome space
-    (segment mapping: the caller supplies revcomp rows itself). Returns
-    (pos, mm, valid) compacted to (N, max_hits) plus n_hits and truncation.
-    """
+def _align_forward_rows_jit(fm, reads, lengths, offsets, *,
+                            max_mismatches: int, hits_per_seed: int,
+                            max_hits: int):
     cand, mm, valid, trunc = _align_one_strand(
         fm, reads, lengths, max_mismatches, hits_per_seed)
     valid &= same_contig(offsets, cand, lengths[:, None])
@@ -280,6 +299,25 @@ def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
     sl = slice(0, max_hits)
     return (pos_s[:, sl], mm_s[:, sl].astype(jnp.int8),
             valid_s[:, sl].astype(bool), n_hits, trunc)
+
+
+def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
+                       hits_per_seed: int, max_hits: int):
+    """Forward-text-only variant for rows that are already in genome space
+    (segment mapping: the caller supplies revcomp rows itself). Returns
+    (pos, mm, valid) compacted to (N, max_hits) plus n_hits and truncation.
+    Row-sharded over the active mesh (parallel/auto.py), if any.
+    """
+    from tophat_tpu.parallel import auto
+
+    kw = dict(max_mismatches=max_mismatches, hits_per_seed=hits_per_seed,
+              max_hits=max_hits)
+    if auto.active() is None:
+        return _align_forward_rows_jit(fm, reads, lengths, offsets, **kw)
+    (rd, ln), B = auto.shard_rows(reads, lengths)
+    out = _align_forward_rows_jit(auto.replicated(fm), rd, ln,
+                                  auto.replicated(offsets), **kw)
+    return tuple(a[:B] for a in out)
 
 
 def align_reads_adaptive(fm, reads_f, reads_r, lengths, offsets, *,

@@ -138,6 +138,13 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
                                           max_mm)
         except Exception:  # Mosaic/compile issues: fall back to XLA conv
             pass
+    # multi-device: rows sharded over the mesh's reads axis, events + genome
+    # replicated (parallel/auto.py) — the realignment analog of the
+    # reference's per-thread read ranges (tophat_reports.cpp:1231)
+    from tophat_tpu.parallel import auto
+
+    (readsg_d, lengths_d), nrows = auto.shard_rows(readsg, lengths)
+    genome_d = auto.replicated(genome)
     outs_t, outs_mm, outs_ok = [], [], []
     for s in range(0, E, chunk):
         e = min(s + chunk, E)
@@ -145,14 +152,14 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
         pick = lambda a: np.concatenate(
             [a[s:e], np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a[s:e]
         bt, mm, ok = realign_chunk(
-            genome, jnp.asarray(readsg), jnp.asarray(lengths),
+            genome_d, readsg_d, lengths_d,
             jnp.asarray(pick(events["left"])), jnp.asarray(pick(events["right"])),
             jnp.asarray(pick(events["kind"])), jnp.asarray(pick(events["ins_len"])),
             jnp.asarray(pick(events["ins_seq"])),
             jnp.asarray(pick(events["valid"].astype(bool))), max_mm=max_mm)
-        outs_t.append(np.asarray(bt)[:, : e - s])
-        outs_mm.append(np.asarray(mm)[:, : e - s])
-        outs_ok.append(np.asarray(ok)[:, : e - s])
+        outs_t.append(np.asarray(bt)[:nrows, : e - s])
+        outs_mm.append(np.asarray(mm)[:nrows, : e - s])
+        outs_ok.append(np.asarray(ok)[:nrows, : e - s])
     return (np.concatenate(outs_t, 1), np.concatenate(outs_mm, 1),
             np.concatenate(outs_ok, 1))
 

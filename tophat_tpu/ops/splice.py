@@ -163,8 +163,23 @@ def build_pair_windows(seg_pos, seg_valid, cuts, nseg, lengths,
 # motif scan over windows -> candidate junctions
 # ---------------------------------------------------------------------------
 
+def _window_sharded(scan_jit, genome, readsg, win, sup_max):
+    """Run a jitted window scan with the window axis sharded over the active
+    mesh (parallel/auto.py) — genome and genome-space reads replicated, the
+    flat window table split across devices like the reference's read-range
+    thread partition (segment_juncs.cpp:4763)."""
+    from tophat_tpu.parallel import auto
+
+    if auto.active() is None or win.row.shape[0] == 0:
+        return scan_jit(genome, readsg, win, sup_max)
+    win_d, W = auto.shard_pytree_rows(win)
+    out = scan_jit(auto.replicated(genome), auto.replicated(readsg),
+                   win_d, sup_max)
+    return tuple(a[:W] for a in out)
+
+
 @partial(jax.jit, static_argnames=("sup_max",))
-def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
+def _scan_windows_jit(genome, readsg, win: PairWindows, sup_max: int):
     """Scan every split point of every window for donor/acceptor pairs.
 
     Returns (left, right, antisense, valid), each (W, sup_max):
@@ -218,9 +233,16 @@ def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
     a2 = genome[jnp.clip(apos + 1, 0, n - 1)]
     dinuc_ok = (dpos >= 0) & (dpos + 1 < n) & (apos >= 0) & (apos + 1 < n)
 
-    # GT..AG (fwd) / CT..AC (= revcomp of AG..GT, i.e. antisense junction)
-    fwd = (g1 == 2) & (g2 == 3) & (a1 == 0) & (a2 == 2)
-    rev = (g1 == 1) & (g2 == 3) & (a1 == 0) & (a2 == 1)
+    # three donor/acceptor classes, each searched forward and as its
+    # reverse complement (= antisense junction) — the reference runs
+    # juncs_from_ref_segs once per class: GT-AG, GC-AG, AT-AC
+    # (segment_juncs.cpp:3618-3648). Codes A=0 C=1 G=2 T=3.
+    fwd = (((g1 == 2) & (g2 == 3) & (a1 == 0) & (a2 == 2))    # GT..AG
+           | ((g1 == 2) & (g2 == 1) & (a1 == 0) & (a2 == 2))  # GC..AG
+           | ((g1 == 0) & (g2 == 3) & (a1 == 0) & (a2 == 1)))  # AT..AC
+    rev = (((g1 == 1) & (g2 == 3) & (a1 == 0) & (a2 == 1))    # CT..AC
+           | ((g1 == 1) & (g2 == 3) & (a1 == 2) & (a2 == 1))  # CT..GC
+           | ((g1 == 2) & (g2 == 3) & (a1 == 0) & (a2 == 3)))  # GT..AT
 
     scan_ok = in_sup & (t <= win.sup_len[:, None] - 2)  # i <= read_len - 2
     valid = (win.valid[:, None] & scan_ok & budget_ok & dinuc_ok
@@ -228,6 +250,10 @@ def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
     left = dpos - 1
     right = apos + 2
     return left, right, rev, valid
+
+
+def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
+    return _window_sharded(_scan_windows_jit, genome, readsg, win, sup_max)
 
 
 def _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
@@ -290,7 +316,7 @@ def build_fusion_windows(seg_pos, seg_valid, cuts, nseg, lengths, offsets,
 
 
 @partial(jax.jit, static_argnames=("sup_max",))
-def scan_fusion_windows(genome, readsg, win: PairWindows, sup_max: int):
+def _scan_fusion_windows_jit(genome, readsg, win: PairWindows, sup_max: int):
     """Best breakpoint per fusion window: the split minimizing support-read
     mismatches (no splice motif requirement — reference detect_fusion scans
     all split points, segment_juncs.cpp:2629). Returns per-window
@@ -331,6 +357,11 @@ def scan_fusion_windows(genome, readsg, win: PairWindows, sup_max: int):
     right = wr[:, 0] - (win.sup_len - best_t)
     valid = win.valid & (best <= WINDOW_MM)
     return left, right, best, valid
+
+
+def scan_fusion_windows(genome, readsg, win: PairWindows, sup_max: int):
+    return _window_sharded(_scan_fusion_windows_jit, genome, readsg, win,
+                           sup_max)
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +435,7 @@ def build_indel_pairs(seg_pos, seg_mm, seg_valid, cuts, nseg,
 
 
 @partial(jax.jit, static_argnames=("two_seg_max",))
-def scan_indel_pairs(genome, readsg, lengths, pairs, two_seg_max: int):
+def _scan_indel_pairs_jit(genome, readsg, lengths, pairs, two_seg_max: int):
     """detect_small_deletion / detect_small_insertion semantics
     (reference: segment_juncs.cpp:2470-2628).
 
@@ -506,3 +537,18 @@ def scan_indel_pairs(genome, readsg, lengths, pairs, two_seg_max: int):
     # inserted read bases start at read offset c0 + best_t in genome space
     ins_read_off = c0f + best_t
     return kind, left, right, ins_len, valid, best_t, rowf, ins_read_off
+
+
+def scan_indel_pairs(genome, readsg, lengths, pairs, two_seg_max: int):
+    """_scan_indel_pairs_jit with the pair axis sharded over the active
+    mesh (parallel/auto.py); genome, reads and lengths replicated."""
+    from tophat_tpu.parallel import auto
+
+    if auto.active() is None or pairs["row"].shape[0] == 0:
+        return _scan_indel_pairs_jit(genome, readsg, lengths, pairs,
+                                     two_seg_max)
+    pairs_d, P_orig = auto.shard_pytree_rows(pairs)
+    out = _scan_indel_pairs_jit(
+        auto.replicated(genome), auto.replicated(readsg),
+        auto.replicated(lengths), pairs_d, two_seg_max)
+    return tuple(a[:P_orig] for a in out)
