@@ -43,14 +43,20 @@ def merge_events(*tables: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def dedup_events(ev: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Unique by (kind, left, right, antisense, ins seq)."""
+    """Unique by (kind, left, right, antisense) — first occurrence wins.
+
+    Insertions carrying different sequences at the same coordinate collapse
+    to the FIRST one seen (in read order): the gold-era pipeline keys its
+    insertion set by position, so a later read whose sequencing error
+    produces a variant inserted sequence cannot shadow the true one
+    (v1.1.4 std::set<Insertion> insert semantics; 2.1.2 widened the key to
+    include the sequence, insertions.h:31, but the regression gold predates
+    that)."""
     if len(ev["left"]) == 0:
         return ev
     key = np.stack([ev["kind"].astype(np.int64), ev["left"].astype(np.int64),
                     ev["right"].astype(np.int64),
-                    ev["antisense"].astype(np.int64)]
-                   + [ev["ins_seq"][:, i].astype(np.int64)
-                      for i in range(ev["ins_seq"].shape[1])], axis=1)
+                    ev["antisense"].astype(np.int64)], axis=1)
     _, idx = np.unique(key, axis=0, return_index=True)
     idx = np.sort(idx)
     return {k: v[idx] for k, v in ev.items()}

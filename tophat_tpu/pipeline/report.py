@@ -57,6 +57,11 @@ class Candidate:
     pair_only: bool = False  # usable only as the spliced half of a proper
     #                          pair (3' anchor in [3, three_min); gold
     #                          test_Paired keeps 21M157N3M mates)
+    pair_ok: bool = False    # indel reachable via the ungapped segment-pair
+    #                          closure (competes per chain, one winner:
+    #                          _closure_competition)
+    record_ok: bool = False  # indel reachable via a flank-record hit
+    #                          (its own chain: exempt from the competition)
 
     @property
     def edit_dist(self) -> int:
@@ -145,13 +150,16 @@ class Candidate:
 
 
 def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
-                      min_anchor, kind, left, right, q, seq, t):
+                      min_anchor, kind, left, right, q, seq, t,
+                      segment_length=None):
     """Gate a spliced candidate by segment-path feasibility and compute its
     near-splice mismatch count.
 
-    Feasibility: every segment of the read must fit `seg_budget` mismatches
-    with the event applied — the reference only produces candidates whose
-    segments each came from a bowtie hit (long_spanning_reads semantics).
+    Feasibility mirrors how the gold-era pipeline could have produced the
+    candidate at all (long_spanning_reads join semantics): every segment of
+    the read must fit `seg_budget` mismatches with the event applied, and —
+    for indels — the event must be reachable through one of the two actual
+    candidate paths (see _indel_admission).
     splice_mms: mismatches within min_anchor of the split point (reference:
     bwt_map.cpp:723 counts |spl_ofs - o| < min_anchor_len into _splice_mms).
 
@@ -178,11 +186,108 @@ def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
         mmv[t:] = cmp(t + suf, right + suf)
 
     splice_mms = int(mmv[max(0, t - min_anchor): t + min_anchor].sum())
+
+    if kind in (KIND_DELETION, KIND_INSERTION):
+        record_ok, pair_ok = _indel_admission(
+            genome, row_codes, cuts_row, rl, seg_budget, kind, left, right,
+            q, t, mmv, segment_length or seg_budget, cmp)
+        return record_ok or pair_ok, splice_mms, (record_ok, pair_ok)
+
     for j in range(len(cuts_row) - 1):
         a, b = int(cuts_row[j]), int(cuts_row[j + 1])
         if b > a and mmv[a:b].sum() > seg_budget:
-            return False, splice_mms
-    return True, splice_mms
+            return False, splice_mms, (False, False)
+    return True, splice_mms, (False, False)
+
+
+def _indel_admission(genome, row_codes, cuts_row, rl, seg_budget, kind,
+                     left, right, q, t, mmv, segment_length, cmp):
+    """v1.1.4 indel candidate admission: the alignment must be reachable
+    through one of the two paths that actually generated indel candidates
+    in the gold-era pipeline (reference: long_spanning_reads merge_chain +
+    the juncs_db record mapping, juncs_db.cpp:73 print_insertion /
+    :109 print_splice):
+
+    1. RECORD path — the split t is interior to one segment (the spanning
+       segment), which maps against the event's flank record: both in-
+       segment anchors >= 1 base, the segment's flank extents fit the
+       record geometry (insertion half = segment_length - 3, the juncs_db
+       `3 <seg_len>` call; deletion half = segment_length), the inserted
+       read bases equal the event sequence exactly (an insertion record
+       embeds the sequence — a read mismatching inside the insert cannot
+       map it), and every segment fits seg_budget mismatches under the
+       spliced placement.
+    2. PAIR path — t falls exactly on a segment boundary (or the insert
+       ends on one): both flanking segments have plain UNGAPPED genomic
+       hits (<= seg_budget mismatches, inserted bases counted raw against
+       the genome) that merge_chain closes with the event; for insertions
+       the inserted read bases must equal the event sequence (merge
+       requires the event's sequence).
+    """
+    pos = left - t + 1
+    gap = q if kind == KIND_INSERTION else right - left - 1
+    segs = []
+    for j in range(len(cuts_row) - 1):
+        a, b = int(cuts_row[j]), int(cuts_row[j + 1])
+        if b > a:
+            segs.append((a, b))
+    if kind == KIND_INSERTION and np.any(mmv[t: t + q]):
+        return False, False  # inserted bases must equal the event sequence
+    cons = q if kind == KIND_INSERTION else 0  # read bases the event eats
+    cutset = {a for a, _ in segs} | {segs[-1][1]} if segs else set()
+
+    record_ok = False
+    # RECORD path: spanning segment with t (and the insert) strictly inside.
+    # Anchor floor within the spanning segment: 1 base for insertions
+    # (record offsets allow a 1-base flank, juncs_db.cpp:73), 2 bases for
+    # deletions (gold keeps 2-base-anchor record hits and drops 1-base ones:
+    # read387 11M2D13M vs read_rc70 6M2D18M, test_IndelWithErrors)
+    min_anchor_rec = 1 if kind == KIND_INSERTION else 2
+    for a, b in segs:
+        if not (t - a >= min_anchor_rec and b - (t + cons) >= min_anchor_rec):
+            continue
+        half = (segment_length - 3 if kind == KIND_INSERTION
+                else segment_length)
+        if (t - a) > half or (b - (t + cons)) > half:
+            continue
+        ok = True
+        for a2, b2 in segs:
+            if mmv[a2:b2].sum() > seg_budget:
+                ok = False
+                break
+        if ok:
+            record_ok = True
+            break
+
+    # PAIR path: two adjacent segments with plain ungapped genomic hits,
+    # gap closed by the event. The event split may sit up to 4 bases from
+    # the segment boundary (merge_chain's dist_to_left/right <= 4 window,
+    # long_spanning_reads.cpp:1341); for insertions the boundary must fall
+    # within the inserted span (insert_to_prev_right/curr_left_to_insert
+    # geometry, :1036-1046).
+    inner_cuts = sorted(cutset - {segs[0][0], segs[-1][1]}) if segs else []
+    for c in inner_cuts:
+        if kind == KIND_INSERTION:
+            if not (t <= c <= t + q):
+                continue
+        else:
+            if abs(c - t) > 4:
+                continue
+        ok = True
+        for a, b in segs:
+            if kind == KIND_INSERTION:
+                # ungapped hit: segments at/after the boundary shift back
+                # by q; inserted bases count raw against the genome
+                p = pos + a - (q if a >= c else 0)
+            else:
+                p = pos + a + (gap if a >= c else 0)
+            idx = np.arange(a, b)
+            if cmp(idx, p + idx - a).sum() > seg_budget:
+                ok = False
+                break
+        if ok:
+            return record_ok, True
+    return record_ok, False
 
 
 def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
@@ -270,11 +375,15 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                         continue
                     pair_only = True
             elif kind == KIND_DELETION:
+                # read-space anchor floors from the gold outputs: 5' must
+                # reach min_anchor (deletion-record hits shorter than that
+                # never merge), 3' >= 3 (gold test_IndelWithErrors keeps a
+                # 3M2D21M minus-strand record)
                 ganchor_l = t
                 ganchor_r = rl - t
                 five, three = ((ganchor_l, ganchor_r) if strand == 0
                                else (ganchor_r, ganchor_l))
-                if five < five_min or three < 4:
+                if five < five_min or three < 3:
                     continue
             if kind == KIND_JUNCTION:
                 # reported-intron bounds (-i/-I; reference passes them to
@@ -284,20 +393,22 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 if not (min_i <= gap <= params.max_intron_length):
                     continue
             if genome_codes is not None:
-                ok, spl_mms = _candidate_checks(
+                ok, spl_mms, (rec_ok, pr_ok) = _candidate_checks(
                     genome_codes, gs.readsg[row], gs.cuts[row], rl,
                     params.segment_mismatches, params.min_anchor_len, kind,
                     int(ev_left[e]), int(ev_right[e]), int(ev_ilen[e]),
-                    events["ins_seq"][e], t)
+                    events["ins_seq"][e], t,
+                    segment_length=params.segment_length)
                 if not ok:
                     continue
             else:
                 spl_mms = int(spl_mm[row, e])
+                rec_ok = pr_ok = False
             cands.setdefault(read, []).append(Candidate(
                 read=read, pos=int(ev_left[e]) - t + 1,
                 strand=strand, mm=int(spl_mm[row, e]),
                 kind=kind, ev=int(e), t=t, gap=gap, splice_mms=spl_mms,
-                pair_only=pair_only))
+                pair_only=pair_only, pair_ok=pr_ok, record_ok=rec_ok))
 
     # multi-event chains (pipeline/chains.py)
     for cc in (chain_cands or []):
@@ -322,7 +433,39 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
             read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,
             kind=-2, ev=-1, t=0, chain_ops=tuple(cc.ops),
             chain_events=tuple(cc.events)))
+    for r in cands:
+        cands[r] = _closure_competition(cands[r])
     return cands
+
+
+def _closure_competition(clist: List[Candidate]) -> List[Candidate]:
+    """merge_chain closes one segment-pair gap with at most ONE event: it
+    keeps the strictly-best closure scanning events in (left, right) order
+    (ties lose; long_spanning_reads.cpp:1326 new_diff_mismatches), and a
+    second successful INSERTION closure drops the read's chain entirely
+    (:1246 'multiple closures found'). All pair-path-admissible candidates
+    of one chain compete; the losers survive only if they are separately
+    reachable as flank-record hits (their own chains)."""
+    groups: Dict[Tuple[int, int, int], List[Candidate]] = {}
+    for c in clist:
+        if c.pair_ok:
+            groups.setdefault((c.strand, c.pos, c.kind), []).append(c)
+    if not groups:
+        return clist
+    drop = set()
+    for (strand, pos, kind), grp in groups.items():
+        if len(grp) < 2:
+            continue
+        if kind == KIND_INSERTION and len({c.ev for c in grp}) > 1:
+            drop.update(id(c) for c in grp if not c.record_ok)
+            continue
+        # the reference scans its event set in (left, right) order and keeps
+        # the strictly-best closure, so ties go to the smallest coordinate
+        # (event left = pos + t - 1 for both indel kinds)
+        best = min(grp, key=lambda c: (c.mm, c.pos + c.t))
+        drop.update(id(c) for c in grp
+                    if c is not best and not c.record_ok)
+    return [c for c in clist if id(c) not in drop]
 
 
 @dataclasses.dataclass
