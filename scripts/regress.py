@@ -43,6 +43,57 @@ def parse_command(case_dir):
     return args
 
 
+def check_nm_consistency(sam_path, fasta_path):
+    """The reference harness runs `samtools calmd` on accepted_hits.bam and
+    requires zero stderr (regression_test.py:96-107) — i.e. every record's
+    bases/CIGAR/NM must be consistent with the reference sequence. Recompute
+    NM (mismatches + inserted + deleted bases) from the genome and compare.
+    Returns a list of inconsistent read names."""
+    import re
+
+    from tophat_tpu.index.fasta import encode_seq, read_fasta
+
+    genome = read_fasta(fasta_path)
+    name2id = genome.name_to_id()
+    bad = []
+    for line in open(sam_path):
+        if line.startswith("@"):
+            continue
+        t = line.rstrip("\n").split("\t")
+        name, flag, ref, pos, cigar, seq = (t[0], int(t[1]), t[2],
+                                            int(t[3]) - 1, t[5], t[9])
+        nm_tag = next((int(f[5:]) for f in t[11:] if f.startswith("NM:i:")),
+                      None)
+        if nm_tag is None or ref not in name2id:
+            continue
+        g = genome.codes[int(genome.offsets[name2id[ref]]):]
+        codes = encode_seq(seq)
+        nm = 0
+        gp = pos
+        rp = 0
+        for ln, op in re.findall(r"(\d+)([MIDNS])", cigar):
+            ln = int(ln)
+            if op == "M":
+                a = codes[rp:rp + ln]
+                b = g[gp:gp + ln]
+                nm += int((a != b[: len(a)]).sum()) + max(0, ln - len(b))
+                gp += ln
+                rp += ln
+            elif op == "I":
+                nm += ln
+                rp += ln
+            elif op == "D":
+                nm += ln
+                gp += ln
+            elif op == "N":
+                gp += ln
+            elif op == "S":
+                rp += ln
+        if nm != nm_tag:
+            bad.append(f"{name}: NM:i:{nm_tag} but recomputed {nm} ({cigar})")
+    return bad
+
+
 def run_case(case, out_root):
     case_dir = os.path.join(CASES_DIR, case)
     args = parse_command(case_dir)
@@ -55,6 +106,12 @@ def run_case(case, out_root):
     finally:
         os.chdir(cwd)
     results = {}
+    mine_sam = os.path.join(out_dir, "accepted_hits.sam")
+    if os.path.exists(mine_sam):
+        bad = check_nm_consistency(
+            mine_sam, os.path.join(CASES_DIR, "common_genomes", "fake.fa"))
+        results["calmd(NM-consistency)"] = (
+            None if not bad else [f"+{b}\n" for b in bad])
     for fname in COMPARE:
         gold = os.path.join(case_dir, "tophat_out", fname)
         mine = os.path.join(out_dir, fname)

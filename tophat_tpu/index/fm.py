@@ -60,6 +60,10 @@ class FMIndex:
     # and a 1-bit N mask, both little-endian within each uint32
     packed_genome: Any  # uint32[ceil(n/16)]
     n_mask: Any         # uint32[ceil(n/32)]
+    # mid-checkpoints: occ_mid[k, c] = #c in bwt[(k//4)*128 : k*32) — the
+    # 32-base prefix within each 128-base block, so a rank() needs only 2
+    # packed words + 1 byte instead of 8 words (uint8: counts <= 96)
+    occ_mid: Any        # uint8[ceil((n+1)/32), 4] or uint8[0, 4]
     # optional k-mer -> SA-interval seed table (skips the first k backward
     # search steps; size 2 * 4^k int32, independent of genome size)
     kmer_lo: Any        # int32[4^k] or int32[0]
@@ -79,6 +83,7 @@ class FMIndex:
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
         return dataclasses.replace(
             self, packed_bwt=put(self.packed_bwt), occ_ck=put(self.occ_ck),
+            occ_mid=put(self.occ_mid),
             C=put(self.C), sa=put(self.sa), genome=put(self.genome),
             primary=put(self.primary), packed_genome=put(self.packed_genome),
             n_mask=put(self.n_mask), kmer_lo=put(self.kmer_lo),
@@ -89,7 +94,8 @@ class FMIndex:
     def save(self, path: str) -> None:
         np.savez(
             path, packed_bwt=np.asarray(self.packed_bwt),
-            occ_ck=np.asarray(self.occ_ck), C=np.asarray(self.C),
+            occ_ck=np.asarray(self.occ_ck),
+            occ_mid=np.asarray(self.occ_mid), C=np.asarray(self.C),
             sa=np.asarray(self.sa), genome=np.asarray(self.genome),
             primary=np.asarray(self.primary),
             packed_genome=np.asarray(self.packed_genome),
@@ -106,7 +112,8 @@ class FMIndex:
         z = np.load(path)
         get = lambda k, d: z[k] if k in z.files else d
         return FMIndex(
-            packed_bwt=z["packed_bwt"], occ_ck=z["occ_ck"], C=z["C"],
+            packed_bwt=z["packed_bwt"], occ_ck=z["occ_ck"],
+            occ_mid=get("occ_mid", np.zeros((0, 4), np.uint8)), C=z["C"],
             sa=z["sa"], genome=z["genome"], primary=z["primary"][()],
             packed_genome=z["packed_genome"], n_mask=z["n_mask"],
             kmer_lo=z["kmer_lo"], kmer_hi=z["kmer_hi"],
@@ -174,6 +181,13 @@ def build_fm_index(genome: Genome | np.ndarray,
     per_block = onehot.reshape(nblocks, OCC_BLOCK, 4).sum(axis=1)
     occ_ck = np.zeros((nblocks + 1, 4), dtype=np.int32)
     occ_ck[1:] = np.cumsum(per_block, axis=0)
+    # 32-base mid-checkpoints: exclusive prefix sums within each block
+    # (+4 zero rows so rank(i == m) stays in range when m % 128 == 0)
+    per_sub = onehot.reshape(nblocks, OCC_BLOCK // 32, 32, 4).sum(axis=2)
+    occ_mid = np.zeros_like(per_sub)
+    occ_mid[:, 1:] = np.cumsum(per_sub, axis=1)[:, :-1]
+    occ_mid = np.concatenate([occ_mid.reshape(-1, 4),
+                              np.zeros((4, 4), per_sub.dtype)]).astype(np.uint8)
 
     # C[c] = 1 (sentinel) + #symbols < c in the text
     counts = np.bincount(text, minlength=4)[:4]
@@ -204,7 +218,7 @@ def build_fm_index(genome: Genome | np.ndarray,
         sa_store = sa.astype(np.int32)
 
     return FMIndex(
-        packed_bwt=pack_2bit(bwt), occ_ck=occ_ck, C=C,
+        packed_bwt=pack_2bit(bwt), occ_ck=occ_ck, occ_mid=occ_mid, C=C,
         sa=sa_store, genome=codes,
         primary=np.int32(primary),
         packed_genome=pack_2bit(text), n_mask=pack_1bit(codes == 4),

@@ -32,18 +32,30 @@ def rank(fm, c, i):
     blk = i // OCC_BLOCK
     ck = occ_ck[blk, c]
 
-    # 2-bit match-count over the partial block [blk*OCC_BLOCK, i)
-    word0 = blk * WORDS_PER_BLOCK
-    widx = word0[..., None] + jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    occ_mid = jnp.asarray(fm.occ_mid)
+    if occ_mid.shape[0] > 0:
+        # mid-checkpoint path: 1 byte + 2 words instead of 8 words
+        sub = i // 32
+        ck = ck + occ_mid[jnp.minimum(sub, occ_mid.shape[0] - 1),
+                          c].astype(jnp.int32)
+        word0 = sub * 2
+        nwords = 2
+        j = i - sub * 32  # bases included past the mid-checkpoint, [0, 32]
+    else:
+        word0 = blk * WORDS_PER_BLOCK
+        nwords = WORDS_PER_BLOCK
+        j = i - blk * OCC_BLOCK  # bases of this block included
+
+    # 2-bit match-count over the partial span [checkpoint, i)
+    widx = word0[..., None] + jnp.arange(nwords, dtype=jnp.int32)
     words = packed_bwt[jnp.minimum(widx, packed_bwt.shape[0] - 1)]
 
     pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
     x = words ^ pat
     m = ~(x | (x >> 1)) & jnp.uint32(0x55555555)  # bit 2k set iff base k == c
 
-    # per-word prefix masks: word w covers bases [w*16, w*16+16) of the block
-    j = i - blk * OCC_BLOCK  # bases of this block included, in [0, OCC_BLOCK]
-    covered = jnp.clip(j[..., None] - jnp.arange(WORDS_PER_BLOCK) * 16, 0, 16)
+    # per-word prefix masks: word w covers bases [w*16, w*16+16) of the span
+    covered = jnp.clip(j[..., None] - jnp.arange(nwords) * 16, 0, 16)
     mask = jnp.where(
         covered >= 16,
         jnp.uint32(0xFFFFFFFF),

@@ -112,21 +112,53 @@ def _row_hit_lists(gs, seg_tables, seg_ev, events, row):
     return hits, nseg
 
 
-def _prefix_chains(hits, nseg, max_out=16):
+def _closure_candidates(events, end, s):
+    """Events that close a gap between adjacent ungapped hits ending at
+    `end` and starting at `s` (merge_chain pair closure, split within 4
+    bases of the boundary; insertion boundary inside the inserted span).
+    Yields (ev, delta)."""
+    kinds = events["kind"]
+    lefts = events["left"]
+    rights = events["right"]
+    ilens = events["ins_len"]
+    for e2 in range(len(kinds)):
+        k2 = int(kinds[e2])
+        d = int(lefts[e2]) + 1 - end
+        if k2 == KIND_INSERTION:
+            q = int(ilens[e2])
+            if -q <= d <= 0 and s == end - q:
+                yield e2, d
+        else:
+            if abs(d) <= 4 and s == int(rights[e2]) - d:
+                yield e2, d
+
+
+def _prefix_chains(hits, nseg, max_out=16, events=None):
     """All contiguous chains covering segments 0..j (any j), as
-    (j, genome_end, mm, events, path). Bounded enumeration."""
+    (j, genome_end, mm, events, path); path holds ("SEG", s, e, ev, t)
+    and ("CLOSE", ev, delta) entries. Bounded enumeration; with `events`,
+    adjacent-hit gaps closable by an event continue the chain."""
     out = []
     frontier = [(-1, None, 0, (), ())]
     for j in range(nseg):
         nxt = []
         for (_, end, mm, evs, path) in frontier:
             for (s, e, hmm, ev, t) in hits[j]:
-                if j > 0 and s != end:
-                    continue
-                nevs = evs + (ev,) if ev >= 0 else evs
-                if len(nevs) > MAX_EVENTS_PER_CHAIN:
-                    continue
-                nxt.append((j, e, mm + hmm, nevs, path + ((s, e, ev, t),)))
+                links = []
+                if j == 0 or s == end:
+                    links.append(None)
+                elif events is not None:
+                    links.extend(_closure_candidates(events, end, s))
+                for link in links[:4]:
+                    nevs = evs + (ev,) if ev >= 0 else evs
+                    npath = path
+                    if link is not None:
+                        nevs = nevs + (link[0],)
+                        npath = npath + (("CLOSE",) + tuple(link),)
+                    if len(nevs) > MAX_EVENTS_PER_CHAIN:
+                        continue
+                    nxt.append((j, e, mm + hmm, nevs,
+                                npath + (("SEG", s, e, ev, t),)))
         frontier = nxt[:max_out]
         out.extend(frontier)
         if not frontier:
@@ -134,7 +166,7 @@ def _prefix_chains(hits, nseg, max_out=16):
     return out
 
 
-def _suffix_chains(hits, nseg, max_out=16):
+def _suffix_chains(hits, nseg, max_out=16, events=None):
     """All contiguous chains covering segments j..nseg-1, as
     (j, genome_start, mm, events, path)."""
     out = []
@@ -143,12 +175,21 @@ def _suffix_chains(hits, nseg, max_out=16):
         nxt = []
         for (_, start, mm, evs, path) in frontier:
             for (s, e, hmm, ev, t) in hits[j]:
-                if j < nseg - 1 and e != start:
-                    continue
-                nevs = (ev,) + evs if ev >= 0 else evs
-                if len(nevs) > MAX_EVENTS_PER_CHAIN:
-                    continue
-                nxt.append((j, s, mm + hmm, nevs, ((s, e, ev, t),) + path))
+                links = []
+                if j == nseg - 1 or e == start:
+                    links.append(None)
+                elif events is not None:
+                    links.extend(_closure_candidates(events, e, start))
+                for link in links[:4]:
+                    nevs = (ev,) + evs if ev >= 0 else evs
+                    npath = path
+                    if link is not None:
+                        nevs = (link[0],) + nevs
+                        npath = (("CLOSE",) + tuple(link),) + npath
+                    if len(nevs) > MAX_EVENTS_PER_CHAIN:
+                        continue
+                    nxt.append((j, s, mm + hmm, nevs,
+                                (("SEG", s, e, ev, t),) + npath))
         frontier = nxt[:max_out]
         out.extend(frontier)
         if not frontier:
@@ -203,6 +244,24 @@ def chain_stitch(fm, gs, seg_tables, events, params,
         chains = []
         tries = 0
 
+        def closures(end, s):
+            """Events that close a gap between adjacent UNGAPPED segment
+            hits ending at `end` and starting at `s` — merge_chain's pair
+            closure with the split up to 4 bases from the boundary
+            (long_spanning_reads.cpp:1341); for insertions the boundary
+            must fall inside the inserted span (:1036). Yields (ev, delta)
+            where delta = split read-offset minus the boundary offset."""
+            for e2 in range(len(kinds)):
+                k2 = int(kinds[e2])
+                d = int(lefts[e2]) + 1 - end
+                if k2 == KIND_INSERTION:
+                    q = int(ilens[e2])
+                    if -q <= d <= 0 and s == end - q:
+                        yield e2, d
+                else:
+                    if abs(d) <= 4 and s == int(rights[e2]) - d:
+                        yield e2, d
+
         def dfs(j, end, mm, evs, path):
             nonlocal tries
             if tries > MAX_TRIES or len(chains) >= max_chains_per_read:
@@ -213,27 +272,69 @@ def chain_stitch(fm, gs, seg_tables, events, params,
                 return
             for (s, e, hmm, ev, t) in hits[j]:
                 tries += 1
-                if j > 0 and s != end:
-                    continue
                 nevs = evs + [ev] if ev >= 0 else evs
                 if len(nevs) > MAX_EVENTS_PER_CHAIN:
                     continue
                 nf = sum(1 for x in nevs if kinds[x] == KIND_FUSION)
                 if nf > MAX_FUSIONS_PER_CHAIN:
                     continue
-                dfs(j + 1, e, mm + hmm, nevs, path + [(s, e, ev, t)])
+                if j == 0 or s == end:
+                    dfs(j + 1, e, mm + hmm, nevs,
+                        path + [("SEG", j, s, e, ev, t)])
+                else:
+                    for e2, d in closures(end, s):
+                        cevs = nevs + [e2]
+                        if len(cevs) > MAX_EVENTS_PER_CHAIN:
+                            continue
+                        if (sum(1 for x in cevs
+                                if kinds[x] == KIND_FUSION)
+                                > MAX_FUSIONS_PER_CHAIN):
+                            continue
+                        dfs(j + 1, e, mm + hmm, cevs,
+                            path + [("CLOSE", e2, d),
+                                    ("SEG", j, s, e, ev, t)])
 
         dfs(0, -1, 0, [], [])
+        row_codes = gs.readsg[row]
+        genome = np.asarray(fm.genome)
         for mm, evs, path in chains:
             # assemble ops: merge M runs, insert event ops at crossings
             ops: List[Tuple] = []
-            for j, (s, e, ev, t) in enumerate(path):
+
+            def add_m(x):
+                if x == 0:
+                    return
+                if ops and ops[-1][0] == "M":
+                    ops[-1] = ("M", ops[-1][1] + x)  # x<0 shrinks (closures
+                    #                                  shift <=4 bases)
+                    if ops[-1][1] <= 0:
+                        ops.pop()
+                elif x > 0:
+                    ops.append(("M", x))
+
+            carry = 0  # read bases borrowed across a closure boundary
+            pos0 = None
+            for entry in path:
+                if entry[0] == "CLOSE":
+                    _, e2, d = entry
+                    kind = int(kinds[e2])
+                    gap = (int(ilens[e2]) if kind == KIND_INSERTION
+                           else max(int(rights[e2]) - int(lefts[e2]) - 1, 0))
+                    if kind == KIND_INSERTION:
+                        add_m(d)               # d <= 0 shrinks the last M
+                        carry = -(gap + d)
+                    else:
+                        add_m(d)
+                        carry = -d
+                    ops.append(("EV", e2, kind, gap))
+                    continue
+                _, j, s, e, ev, t = entry
+                if pos0 is None:
+                    pos0 = s
                 slen = int(seg_len[row, j])
                 if ev < 0:
-                    if ops and ops[-1][0] == "M":
-                        ops[-1] = ("M", ops[-1][1] + slen)
-                    else:
-                        ops.append(("M", slen))
+                    add_m(slen + carry)
+                    carry = 0
                 else:
                     kind = int(kinds[ev])
                     gap = (int(ilens[ev]) if kind == KIND_INSERTION
@@ -241,23 +342,67 @@ def chain_stitch(fm, gs, seg_tables, events, params,
                     pre, post = t, slen - t
                     if kind == KIND_INSERTION:
                         post -= gap
-                    if pre:
-                        if ops and ops[-1][0] == "M":
-                            ops[-1] = ("M", ops[-1][1] + pre)
-                        else:
-                            ops.append(("M", pre))
+                    add_m(pre + carry)
+                    carry = 0
                     ops.append(("EV", ev, kind, gap))
-                    if post:
-                        ops.append(("M", post))
+                    add_m(post)
+            mm = _chain_mm(genome, row_codes, pos0, ops, events)
+            if mm is None:
+                continue
             out.append(ChainCandidate(
                 read=int(gs.read_idx[row]), strand=int(gs.strand[row]),
-                pos=path[0][0], mm=mm, ops=ops, events=evs))
+                pos=pos0, mm=mm, ops=ops, events=evs))
     return out
 
 
+def _chain_mm(genome, row_codes, pos0, ops, events):
+    """Exact mismatch count of a chain alignment (closures shift bases to
+    the other side of an event, so per-hit raw counts over/under-count).
+    Returns None when any op walks out of bounds."""
+    n = genome.shape[0]
+    rights = events["right"]
+    gp = pos0
+    rp = 0
+    mm = 0
+    for op in ops:
+        if op[0] == "M":
+            ln = op[1]
+            if ln < 0 or gp < 0 or gp + ln > n:
+                return None
+            g = genome[gp:gp + ln]
+            r = row_codes[rp:rp + ln]
+            if len(r) < ln:
+                return None
+            mm += int(((g != r) | (g >= 4) | (r >= 4)).sum())
+            gp += ln
+            rp += ln
+        elif op[0] == "EV":
+            _, ev, kind, gap = op
+            if kind == KIND_INSERTION:
+                # inserted bases vs the event sequence
+                seq = events["ins_seq"][ev][:gap]
+                r = row_codes[rp:rp + gap]
+                mm += int(((r != seq[: len(r)]) | (r >= 4)).sum())
+                rp += gap
+            elif kind == KIND_FUSION:
+                gp = int(rights[ev])
+            else:
+                gp = int(rights[ev]) + (gp - int(events["left"][ev]) - 1)
+    return mm
+
+
+def _path_pos0(path):
+    """Genome start of the first SEG entry of a chain path."""
+    for entry in path:
+        if entry[0] == "SEG":
+            return int(entry[1])
+    return None
+
+
 def _ops_from_path(path, seg_len_row, events, extend_last=0):
-    """Assemble M/EV ops from a chain path ((s, e, ev, t_seg) per segment
-    j0..j1); extend_last grows the final M run (fusion-break extension)."""
+    """Assemble M/EV ops from a chain path of ("SEG", s, e, ev, t_seg) and
+    ("CLOSE", ev, delta) entries (segments consecutive from the path's
+    first); extend_last grows the final M run (fusion-break extension)."""
     kinds = events["kind"]
     lefts = events["left"]
     rights = events["right"]
@@ -265,23 +410,40 @@ def _ops_from_path(path, seg_len_row, events, extend_last=0):
     ops: List[Tuple] = []
 
     def add_m(n):
-        if n <= 0:
+        if n == 0:
             return
         if ops and ops[-1][0] == "M":
             ops[-1] = ("M", ops[-1][1] + n)
-        else:
+            if ops[-1][1] <= 0:
+                ops.pop()
+        elif n > 0:
             ops.append(("M", n))
 
-    for idx, (s, e, ev, t) in enumerate(path):
+    idx = 0
+    carry = 0
+    for entry in path:
+        if entry[0] == "CLOSE":
+            _, e2, d = entry
+            kind = int(kinds[e2])
+            gap = (int(ilens[e2]) if kind == KIND_INSERTION
+                   else max(int(rights[e2]) - int(lefts[e2]) - 1, 0))
+            add_m(d)
+            carry = -(gap + d) if kind == KIND_INSERTION else -d
+            ops.append(("EV", e2, kind, gap))
+            continue
+        _, s, e, ev, t = entry
         slen = int(seg_len_row[idx])
+        idx += 1
         if ev < 0:
-            add_m(slen)
+            add_m(slen + carry)
+            carry = 0
         else:
             kind = int(kinds[ev])
             gap = (int(ilens[ev]) if kind == KIND_INSERTION
                    else max(int(rights[ev]) - int(lefts[ev]) - 1, 0))
             post = slen - t - (gap if kind == KIND_INSERTION else 0)
-            add_m(t)
+            add_m(t + carry)
+            carry = 0
             ops.append(("EV", ev, kind, gap))
             add_m(post)
     add_m(extend_last)
@@ -289,7 +451,8 @@ def _ops_from_path(path, seg_len_row, events, extend_last=0):
 
 
 def cross_strand_chains(fm, gs, seg_tables, events, params,
-                        max_pairs: int = 128) -> List[ChainCandidate]:
+                        max_pairs: int = 128,
+                        fr_events=None) -> List[ChainCandidate]:
     """FR/RF fusion chains whose pieces may themselves cross events: pair a
     forward-row prefix (suffix) chain with a reverse-row prefix (suffix)
     chain of the same read and scan the uncovered middle for the fusion
@@ -312,7 +475,10 @@ def cross_strand_chains(fm, gs, seg_tables, events, params,
     R = rows // 2
     tables4 = (seg_pos, seg_mm, seg_valid, seg_len)
     seg_ev = (ev_t, ev_mm, ev_ok)
-    fa = params.fusion_anchor_length
+    # flank-record anchor floor (juncs_db fusion record geometry: >= 3
+    # aligned bases each side; fusion_anchor_length only gates FusionStat
+    # counting, fusions.cpp:193)
+    fa = 3
 
     def ext_mm(read_codes, u0, u1, gpos0, step=1):
         """Mismatches of read_codes[u0:u1] vs genome starting gpos0."""
@@ -340,8 +506,98 @@ def cross_strand_chains(fm, gs, seg_tables, events, params,
 
         best = []
         # ---- FR: fwd prefix + rc prefix ----
-        pf = _prefix_chains(hits_f, nseg_f)
-        pr = _prefix_chains(hits_r, nseg_r)
+        pf = _prefix_chains(hits_f, nseg_f, events=events)
+        pr = _prefix_chains(hits_r, nseg_r, events=events)
+
+        # event-anchored virtual pieces: when one strand's piece is too
+        # short to hold any mappable segment, anchor it on an already-
+        # discovered cross-strand breakpoint (the role of segments mapping
+        # juncs_db fusion flank records) and pair it with the other
+        # strand's chain, which may itself cross junctions/indels.
+        for (pa, pb) in (fr_events or {}).get("fr", ()):
+            for (jb, endB, mmB, evsB, pathB) in pr:
+                if not evsB:
+                    continue
+                covB = int(cuts_r[jb + 1])
+                s = int(pb) - endB + covB + 1   # piece B total length
+                t = L - s
+                if not (fa <= t <= L - fa) or s < covB or s - covB > maxseg:
+                    continue
+                e1 = ext_mm(read_f, 0, t, int(pa) - t + 1)
+                e2 = ext_mm(read_r, covB, s, endB)
+                if e1 + e2 > CROSS_EXT_MM:
+                    continue
+                ops = [("M", t), ("FUS", int(pb), "fr")]
+                best.append(ChainCandidate(
+                    read=int(gs.read_idx[rf]), strand=0,
+                    pos=int(pa) - t + 1, mm=mmB + e1 + e2, ops=ops,
+                    events=tuple(evsB)))
+            for (ja, endA, mmA, evsA, pathA) in pf:
+                if not evsA:
+                    continue
+                covA = int(cuts_f[ja + 1])
+                t = int(pa) - endA + covA + 1   # piece A total length
+                if not (fa <= t <= L - fa) or t < covA or t - covA > maxseg:
+                    continue
+                e1 = ext_mm(read_f, covA, t, endA)
+                e2 = ext_mm(read_r, 0, L - t, int(pb) - (L - t) + 1)
+                if e1 + e2 > CROSS_EXT_MM:
+                    continue
+                ops = _ops_from_path(pathA, seg_len[rf], events,
+                                     extend_last=t - covA)
+                ops.append(("FUS", int(pb), "fr"))
+                best.append(ChainCandidate(
+                    read=int(gs.read_idx[rf]), strand=0,
+                    pos=_path_pos0(pathA), mm=mmA + e1 + e2, ops=ops,
+                    events=tuple(evsA)))
+        for (ra, rb) in (fr_events or {}).get("rf", ()):
+            # piece A = fwd suffix starting at ra; piece B = rc suffix
+            # starting at rb (covers the read's first t bases, revcomp)
+            for (jb, startB, mmB, evsB, pathB) in _suffix_chains(
+                    hits_r, nseg_r, events=events):
+                if not evsB:
+                    continue
+                tB0 = int(cuts_r[jb])
+                t = L - tB0 + (startB - int(rb))
+                if not (fa <= t <= L - fa):
+                    continue
+                back = tB0 - (L - t)
+                if back < 0 or back > maxseg:
+                    continue
+                e1 = ext_mm(read_f, t, L, int(ra))
+                e2 = ext_mm(read_r, L - t, tB0, int(rb))
+                if e1 + e2 > CROSS_EXT_MM:
+                    continue
+                ops = [("FUS", int(rb), "rf"), ("M", L - t)]
+                best.append(ChainCandidate(
+                    read=int(gs.read_idx[rf]), strand=0, pos=int(ra),
+                    mm=mmB + e1 + e2, ops=ops, events=tuple(evsB)))
+            for (ja, startA, mmA, evsA, pathA) in _suffix_chains(
+                    hits_f, nseg_f, events=events):
+                if not evsA:
+                    continue
+                tA0 = int(cuts_f[ja])
+                t = tA0 - (startA - int(ra))
+                if not (fa <= t <= L - fa):
+                    continue
+                back = tA0 - t
+                if back < 0 or back > maxseg:
+                    continue
+                e1 = ext_mm(read_f, t, tA0, int(ra))
+                e2 = ext_mm(read_r, L - t, L, int(rb))
+                if e1 + e2 > CROSS_EXT_MM:
+                    continue
+                ops = [("FUS", int(rb), "rf")]
+                ops += _ops_from_path(pathA, seg_len[rf][ja:], events)
+                if back:
+                    for i2, op in enumerate(ops):
+                        if op[0] == "M":
+                            ops[i2] = ("M", op[1] + back)
+                            break
+                best.append(ChainCandidate(
+                    read=int(gs.read_idx[rf]), strand=0, pos=int(ra),
+                    mm=mmA + e1 + e2, ops=ops, events=tuple(evsA)))
+
         tried = 0
         for (ja, endA, mmA, evsA, pathA) in pf:
             covA = int(cuts_f[ja + 1])
@@ -374,12 +630,12 @@ def cross_strand_chains(fm, gs, seg_tables, events, params,
                 ops.append(("FUS", int(posB), "fr"))
                 best.append(ChainCandidate(
                     read=int(gs.read_idx[rf]), strand=0,
-                    pos=int(pathA[0][0]), mm=mmA + mmB + ext, ops=ops,
+                    pos=_path_pos0(pathA), mm=mmA + mmB + ext, ops=ops,
                     events=tuple(evsA) + tuple(evsB)))
 
         # ---- RF: fwd suffix + rc suffix ----
-        sf = _suffix_chains(hits_f, nseg_f)
-        sr = _suffix_chains(hits_r, nseg_r)
+        sf = _suffix_chains(hits_f, nseg_f, events=events)
+        sr = _suffix_chains(hits_r, nseg_r, events=events)
         tried = 0
         for (ja, startA, mmA, evsA, pathA) in sf:
             tA0 = int(cuts_f[ja])

@@ -187,7 +187,7 @@ def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
 
     splice_mms = int(mmv[max(0, t - min_anchor): t + min_anchor].sum())
 
-    if kind in (KIND_DELETION, KIND_INSERTION):
+    if kind in (KIND_DELETION, KIND_INSERTION, KIND_FUSION):
         record_ok, pair_ok = _indel_admission(
             genome, row_codes, cuts_row, rl, seg_budget, kind, left, right,
             q, t, mmv, segment_length or seg_budget, cmp)
@@ -242,12 +242,21 @@ def _indel_admission(genome, row_codes, cuts_row, rl, seg_budget, kind,
     # (record offsets allow a 1-base flank, juncs_db.cpp:73), 2 bases for
     # deletions (gold keeps 2-base-anchor record hits and drops 1-base ones:
     # read387 11M2D13M vs read_rc70 6M2D18M, test_IndelWithErrors)
-    min_anchor_rec = 1 if kind == KIND_INSERTION else 2
+    # fusion flank records are built as `juncs_db 3 <seg_len>` too: half =
+    # seg_len - 3, which both floors the in-segment anchor at 3 and caps it
+    # at seg_len - 3 (print_fusion, juncs_db.cpp:152)
+    if kind == KIND_FUSION:
+        min_anchor_rec = 3
+        half = max(segment_length - 3, 1)
+    elif kind == KIND_INSERTION:
+        min_anchor_rec = 1
+        half = segment_length - 3
+    else:
+        min_anchor_rec = 2
+        half = segment_length
     for a, b in segs:
         if not (t - a >= min_anchor_rec and b - (t + cons) >= min_anchor_rec):
             continue
-        half = (segment_length - 3 if kind == KIND_INSERTION
-                else segment_length)
         if (t - a) > half or (b - (t + cons)) > half:
             continue
         ok = True
@@ -349,10 +358,12 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                     continue
             strand = int(gs.strand[row])
             rl = int(gs.lengths[row])
-            if kind == KIND_FUSION:
-                fa = params.fusion_anchor_length
-                if t < fa or rl - t < fa:
-                    continue
+            # fusion candidates: no hard fusion_anchor_length gate here —
+            # the reference reports fusion-spanning ALIGNMENTS whose anchors
+            # satisfy only the flank-record geometry (>= 3 bases each side,
+            # juncs_db.cpp:152); fusion_anchor_length gates FusionStat
+            # counting (fusions.cpp:193) and discovery, not accepted_hits.
+            # Admission happens in _candidate_checks below.
             pair_only = False
             if kind == KIND_JUNCTION:
                 ganchor_l = t
@@ -426,8 +437,7 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                     post += n
                 else:
                     pre += n
-            if (pre < params.fusion_anchor_length
-                    or post < params.fusion_anchor_length):
+            if pre < 3 or post < 3:  # record-geometry floor (see above)
                 continue
         cands.setdefault(cc.read, []).append(Candidate(
             read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,

@@ -220,6 +220,18 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
         spl = (np.zeros((m.gs.rows, 0), np.int32),
                np.zeros((m.gs.rows, 0), np.int32),
                np.zeros((m.gs.rows, 0), bool))
+    fr_results = []
+    fr_event_pairs = {"fr": (), "rf": ()}
+    if params.fusion_search and m.gs.rows:
+        from tophat_tpu.ops.fusion_fr import find_fr_fusions
+
+        fr_results = find_fr_fusions(fm, m.gs, m.seg_tables, None, params)
+        for res in fr_results:
+            pairs = sorted({(int(a), int(b)) for a, b in
+                            zip(res["posA"], res["posB"])}
+                           | {(int(b), int(a)) for a, b in
+                              zip(res["posA"], res["posB"])})
+            fr_event_pairs[res["pattern"]] = tuple(pairs)[:64]
     chain_cands = None
     if params.fusion_search and m.gs.rows and len(events["left"]):
         from tophat_tpu.pipeline.chains import (chain_stitch,
@@ -227,7 +239,7 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
 
         chain_cands = chain_stitch(fm, m.gs, m.seg_tables, events, params)
         chain_cands += cross_strand_chains(fm, m.gs, m.seg_tables, events,
-                                           params)
+                                           params, fr_events=fr_event_pairs)
         if chain_cands:
             log(f"chain stitch: {len(chain_cands)} multi-event chains")
     m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
@@ -237,21 +249,19 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
 
     # cross-strand (FR/RF) fusion candidates
     if params.fusion_search and m.gs.rows:
-        from tophat_tpu.ops.fusion_fr import find_fr_fusions
         from tophat_tpu.ops.splice import KIND_FUSION
         from tophat_tpu.pipeline.report import Candidate
 
         nfr = 0
-        for res in find_fr_fusions(fm, m.gs, m.seg_tables, None, params):
+        for res in fr_results:
             for rr, t, pa, pb, mm2 in zip(res["read"], res["t"],
                                           res["posA"], res["posB"],
                                           res["mm"]):
                 read = int(m.gs.read_idx[int(rr)])
                 rl = int(m.gs.lengths[int(rr)])
                 t = int(t)
-                fa = params.fusion_anchor_length
-                if t < fa or rl - t < fa:
-                    continue
+                if t < 3 or rl - t < 3:  # record-geometry floor; the 20bp
+                    continue             # rule gates counting, not reporting
                 if res["pattern"] == "fr":
                     pos = int(pa) - t + 1
                 else:
