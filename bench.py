@@ -1,17 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: FM-index short-read alignment throughput on one TPU chip.
 
-Measures the pipeline's dominant kernel (full-read genome mapping — the
-role of the external bowtie2 process that dominates reference TopHat2
-runtime) in steady state: batched exact-seed backward search + pigeonhole
-verification, both strands, <=2 mismatches.
+Chromosome-scale configuration: a 134 Mbp genome with a sampled suffix
+array (sa_rate=4 — the memory/time design point that scales to mammalian
+genomes) and the production two-tier adaptive aligner (narrow seed budget +
+compacted LF walk, wide re-run for repeat-family reads). This is the
+pipeline's dominant kernel — the role of the external bowtie2 process that
+dominates reference TopHat2 runtime (reference: src/tophat.py:2286-2353).
+
+A second metric runs the FULL spliced pipeline (segment split, junction
+discovery, realignment, reporting) end-to-end on reads drawn across
+synthetic introns.
 
 Baseline: 16-thread TopHat2 end-to-end maps roughly 20M 100bp reads in
-4-8 wall-clock hours on a commodity server (Kim et al. 2013 scale, spread
-over its bowtie2 + stitching stages), i.e. ~10-20k reads/s for the mapping
-stage. vs_baseline uses 20,000 reads/s.
+4-8 wall-clock hours on a commodity server (Kim et al. 2013 scale), i.e.
+~10-20k reads/s for the mapping stage. vs_baseline uses 20,000 reads/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (primary metric) plus a comment line with the
+spliced end-to-end number.
 """
 
 import json
@@ -23,10 +29,11 @@ import numpy as np
 
 BASELINE_READS_PER_S = 20_000.0
 
-GENOME_N = 1 << 22          # 4 Mbp synthetic genome
+GENOME_N = 1 << 27          # 134 Mbp
 BATCH = 16384
 READ_LEN = 100
 ITERS = 5
+SA_RATE = 4
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -37,7 +44,7 @@ def get_fm():
     from tophat_tpu.index.fm import FMIndex, build_fm_index
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k13.npz")
+    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k13_r{SA_RATE}_v3.npz")
     if os.path.exists(path):
         return FMIndex.load(path)
     rng = np.random.default_rng(7)
@@ -45,72 +52,148 @@ def get_fm():
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
                     names=["chr1"])
     t0 = time.time()
-    fm = build_fm_index(genome, kmer_k=13)
-    print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    fm = build_fm_index(genome, kmer_k=13, sa_rate=SA_RATE)
+    print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
     fm.save(path)
     return fm
 
 
-def main():
+def make_batch(codes, seed, batch=BATCH, read_len=READ_LEN):
+    from tophat_tpu.index.fasta import revcomp
+
+    r = np.random.default_rng(seed)
+    n = len(codes)
+    starts = r.integers(0, n - read_len, batch)
+    reads = codes[starts[:, None] + np.arange(read_len)].copy()
+    for _ in range(2):
+        p = r.integers(0, read_len, batch)
+        reads[np.arange(batch), p] = (
+            reads[np.arange(batch), p] + r.integers(1, 4, batch)) % 4
+    flip = r.random(batch) < 0.5
+    rf = np.where(flip[:, None], revcomp(reads), reads).astype(np.int8)
+    rr = revcomp(rf).copy().astype(np.int8)
+    return rf, rr, np.full(batch, read_len, np.int32)
+
+
+def bench_unspliced(fm):
     import jax
 
-    # persistent compile cache: repeat bench runs skip the (tunnel-slow)
-    # XLA compilation entirely
-    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
 
-    from tophat_tpu.index.fasta import revcomp
-    from tophat_tpu.ops.align import align_reads
-
-    fm = get_fm()
     codes = np.asarray(fm.genome)
-    rng = np.random.default_rng(11)
-
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        starts = r.integers(0, GENOME_N - READ_LEN, BATCH)
-        idx = starts[:, None] + np.arange(READ_LEN)
-        reads = codes[idx].copy()
-        # two random mutations per read
-        for _ in range(2):
-            p = r.integers(0, READ_LEN, BATCH)
-            reads[np.arange(BATCH), p] = (
-                reads[np.arange(BATCH), p] + r.integers(1, 4, BATCH)) % 4
-        flip = r.random(BATCH) < 0.5
-        rf = np.where(flip[:, None], revcomp(reads), reads).astype(np.int8)
-        rr = revcomp(rf).copy().astype(np.int8)
-        lengths = np.full(BATCH, READ_LEN, np.int32)
-        return rf, rr, lengths
-
-    offsets = np.array([0, GENOME_N], np.int32)
+    offsets = np.array([0, fm.n], np.int32)
     fm_d = fm.device_put()
-    batches = [tuple(jax.device_put(x) for x in make_batch(100 + i))
-               for i in range(ITERS + 1)]
-
-    from tophat_tpu.ops.align import kmer_fast_ok
-
     fast = kmer_fast_ok(fm, READ_LEN, 2)
-    # narrow-tier budget (hits_per_seed=8): the steady-state configuration
-    # of align_reads_adaptive — repeat-family reads that truncate re-run at
-    # a wide budget, which this repeat-free synthetic genome never triggers
-    run = lambda b: align_reads(fm_d, b[0], b[1], b[2], offsets,
-                                max_mismatches=2, hits_per_seed=8,
-                                max_alignments=16, kmer_fast=fast)
+    batches = [make_batch(codes, 100 + i) for i in range(ITERS + 1)]
+
+    import jax.numpy as jnp
+
+    # device-resident inputs + pipelined dispatch with one final sync:
+    # the production input pipeline overlaps transfers with compute; the
+    # dev-tunnel's per-call RTT must not be billed to the chip
+    dev_batches = [tuple(jnp.asarray(x) for x in b) for b in batches]
+    run = lambda b: align_reads_adaptive(
+        fm_d, b[0], b[1], b[2], offsets, max_mismatches=2,
+        max_alignments=16, kmer_fast=fast, narrow_hits=8, wide_hits=32,
+        resolve_cap=1, uniform_len=READ_LEN)
     print("# compiling...", file=sys.stderr, flush=True)
-    out = run(batches[0])          # compile + warmup
-    jax.block_until_ready(out)
+    out = run(dev_batches[0])
     n_aligned = int(np.asarray(out.n_hits > 0).sum())
     print(f"# warmup: {n_aligned}/{BATCH} reads aligned", file=sys.stderr,
           flush=True)
 
     t0 = time.time()
-    outs = [run(b) for b in batches[1:]]
-    jax.block_until_ready(outs)
+    outs = [run(b) for b in dev_batches[1:]]
+    _ = int(np.asarray(outs[-1].n_hits).sum())   # device stream is in-order
     dt = time.time() - t0
+    chk = sum(int(np.asarray(o.n_hits).sum()) for o in outs)
+    print(f"# checksum {chk}", file=sys.stderr, flush=True)
+    return ITERS * BATCH / dt, fm_d
 
-    reads_per_s = ITERS * BATCH / dt
+
+def bench_spliced(fm_d):
+    """Full pipeline (segments, junction discovery, realignment,
+    reporting) on reads spanning synthetic GT-AG introns."""
+    import tempfile
+
+    from tophat_tpu.index.fasta import Genome, decode_seq
+    from tophat_tpu.io.fastq import batch_reads
+    from tophat_tpu.pipeline.params import Params
+    from tophat_tpu.pipeline.run import run_pipeline
+
+    codes = np.asarray(fm_d.genome)
+    rng = np.random.default_rng(3)
+    # pick naturally occurring GT..AG sites (no genome mutation — the FM
+    # index must stay consistent with the sequence the reads come from)
+    gt = np.nonzero((codes[:-1] == 2) & (codes[1:] == 3))[0]
+    n_junc = 64
+    juncs = []
+    for s in rng.choice(len(gt) - 1, 4 * n_junc, replace=False):
+        d = int(gt[s])                        # donor: intron starts d..d+1
+        left = d - 1                          # last exonic base
+        win = codes[d + 100: d + 5000]
+        ag = np.nonzero((win[:-1] == 0) & (win[1:] == 2))[0]
+        if len(ag) == 0 or left < 200 or d + 5002 >= GENOME_N - 200:
+            continue
+        right = d + 100 + int(ag[0]) + 2      # first exonic base after AG
+        juncs.append((left, right))
+        if len(juncs) == n_junc:
+            break
+    genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
+                    names=["chr1"])
+    B = 8192
+
+    def make(seed):
+        r = np.random.default_rng(seed)
+        recs = []
+        for i in range(B):
+            if i % 4 == 0:  # 25% junction-spanning
+                left, right = juncs[int(r.integers(0, len(juncs)))]
+                t = int(r.integers(30, 70))
+                seq = np.concatenate([codes[left - t + 1:left + 1],
+                                      codes[right:right + READ_LEN - t]])
+            else:
+                s = int(r.integers(0, GENOME_N - READ_LEN))
+                seq = codes[s:s + READ_LEN].copy()
+                p = int(r.integers(0, READ_LEN))
+                seq[p] = (seq[p] + 1) % 4
+            recs.append((f"r{i}", decode_seq(seq), b"I" * READ_LEN))
+        return batch_reads(recs)
+
+    params = Params(coverage_search=False)
+    # warm run compiles every stage; the timed run measures steady state
+    # (power-of-two row padding keeps the compiled shapes shared)
+    run_pipeline(genome, make(5), params,
+                 tempfile.mkdtemp(prefix="bench_spliced_w_"), fm=fm_d,
+                 log=lambda *a: None)
+    out_dir = tempfile.mkdtemp(prefix="bench_spliced_")
+    t0 = time.time()
+    run_pipeline(genome, make(6), params, out_dir, fm=fm_d,
+                 log=lambda *a: None)
+    dt = time.time() - t0
+    return B / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    fm = get_fm()
+    reads_per_s, fm_d = bench_unspliced(fm)
+    try:
+        spliced_rps = bench_spliced(fm_d)
+        print(f"# spliced_e2e_reads_per_s_per_chip: {spliced_rps:,.0f} "
+              f"(full pipeline incl. discovery + reporting)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # keep the primary metric robust
+        print(f"# spliced bench failed: {e}", file=sys.stderr, flush=True)
+        spliced_rps = None
+
     print(json.dumps({
-        "metric": "unspliced_align_reads_per_s_per_chip",
+        "metric": "unspliced_align_reads_per_s_per_chip_134Mbp",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),

@@ -40,7 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-N", "--read-mismatches", type=int, default=2)
     p.add_argument("--read-gap-length", type=int, default=2)
     p.add_argument("--read-edit-dist", type=int, default=2)
-    p.add_argument("-g", "-M", "--max-multihits", type=int, default=20)
+    p.add_argument("-g", "--max-multihits", type=int, default=20)
+    p.add_argument("-M", "--prefilter-multihits", action="store_true",
+                   help="discard reads with more than max-multihits "
+                        "genomic placements before the spliced stages "
+                        "(reference: prep_reads flt_reads, tophat.py:3995)")
     p.add_argument("--segment-length", type=int, default=25)
     p.add_argument("--segment-mismatches", type=int, default=2)
     p.add_argument("-a", "--min-anchor", type=int, default=8)
@@ -97,8 +101,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-fasta-order", action="store_true",
                    help="accepted for compatibility (contig order always "
                         "follows the FASTA)")
-    p.add_argument("--no-sort-bam", action="store_true")
-    p.add_argument("--no-convert-bam", action="store_true")
+    p.add_argument("--no-sort-bam", action="store_true",
+                   help="emit alignments in read order instead of "
+                        "coordinate order")
+    p.add_argument("--no-convert-bam", action="store_true",
+                   help="skip BAM emission (accepted_hits.sam only)")
+    p.add_argument("--no-mixed", action="store_true",
+                   help="paired runs: suppress half-mapped pairs")
+    p.add_argument("--no-discordant", action="store_true",
+                   help="paired runs: report only concordant pairs")
+    p.add_argument("--report-secondary-alignments", action="store_true",
+                   help="also report alignments scoring below the best "
+                        "tier (up to max-multihits)")
+    p.add_argument("--library-type", default="fr-unstranded",
+                   choices=["fr-unstranded", "fr-firststrand",
+                            "fr-secondstrand"],
+                   help="strand-specific protocols restrict which splice "
+                        "directions each read may support "
+                        "(reference: segment_juncs.cpp:2110)")
+    p.add_argument("--v2-sam", action="store_true",
+                   help="TopHat 2.1.2 SAM conventions (proper-pair flag, "
+                        "TLEN, MAPQ 50/3/1/0) instead of the gold v1.1.4 "
+                        "regression conventions")
     p.add_argument("-p", "--num-threads", type=int, default=1,
                    help="accepted for compatibility (device parallelism is "
                         "controlled by the JAX mesh)")
@@ -243,6 +267,14 @@ def main(argv=None):
         fusion_min_dist=args.fusion_min_dist,
         fusion_read_mismatches=args.fusion_read_mismatches,
         batch_size=args.batch_size,
+        prefilter_multihits=args.prefilter_multihits,
+        no_mixed=args.no_mixed,
+        no_discordant=args.no_discordant,
+        report_secondary=args.report_secondary_alignments,
+        library_type=args.library_type,
+        v2_sam=args.v2_sam,
+        no_sort_bam=args.no_sort_bam,
+        no_convert_bam=args.no_convert_bam,
     )
 
     out_dir = args.output_dir

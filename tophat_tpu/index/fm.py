@@ -74,10 +74,14 @@ class FMIndex:
     # sa_rate at the cost of walk steps; `sa` is empty when sampled.
     sa_marks: Any       # uint32[ceil((n+1)/32)] or uint32[0]
     sa_mark_ck: Any     # int32[nblocks+1] rank checkpoints per 128 rows
+    sa_mark_mid: Any    # uint8[ceil((n+1)/32)] marked-count within block
     sa_samples: Any     # int32[#marked] SA values of marked rows, row order
     n: int = dataclasses.field(metadata=dict(static=True))
     kmer_k: int = dataclasses.field(metadata=dict(static=True), default=0)
     sa_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # genomes without any N skip the N-mask gather in verification
+    # (one of the two hottest gathers at chromosome scale)
+    has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     def device_put(self, sharding=None) -> "FMIndex":
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
@@ -89,6 +93,7 @@ class FMIndex:
             n_mask=put(self.n_mask), kmer_lo=put(self.kmer_lo),
             kmer_hi=put(self.kmer_hi), sa_marks=put(self.sa_marks),
             sa_mark_ck=put(self.sa_mark_ck),
+            sa_mark_mid=put(self.sa_mark_mid),
             sa_samples=put(self.sa_samples))
 
     def save(self, path: str) -> None:
@@ -104,8 +109,10 @@ class FMIndex:
             kmer_hi=np.asarray(self.kmer_hi),
             sa_marks=np.asarray(self.sa_marks),
             sa_mark_ck=np.asarray(self.sa_mark_ck),
+            sa_mark_mid=np.asarray(self.sa_mark_mid),
             sa_samples=np.asarray(self.sa_samples),
-            n=self.n, kmer_k=self.kmer_k, sa_rate=self.sa_rate)
+            n=self.n, kmer_k=self.kmer_k, sa_rate=self.sa_rate,
+            has_n=self.has_n)
 
     @staticmethod
     def load(path: str) -> "FMIndex":
@@ -119,10 +126,13 @@ class FMIndex:
             kmer_lo=z["kmer_lo"], kmer_hi=z["kmer_hi"],
             sa_marks=get("sa_marks", np.zeros(0, np.uint32)),
             sa_mark_ck=get("sa_mark_ck", np.zeros(0, np.int32)),
+            sa_mark_mid=get("sa_mark_mid", np.zeros(0, np.uint8)),
             sa_samples=get("sa_samples", np.zeros(0, np.int32)),
             n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]),
             sa_rate=int(get("sa_rate", np.int32(0))[()]
-                        if "sa_rate" in z.files else 0))
+                        if "sa_rate" in z.files else 0),
+            has_n=bool(z["has_n"][()]) if "has_n" in z.files
+            else bool(np.any(z["n_mask"])))
 
 
 def pack_1bit(bits: np.ndarray) -> np.ndarray:
@@ -207,13 +217,21 @@ def build_fm_index(genome: Genome | np.ndarray,
         nb = (m + 127) // 128
         per_block = np.zeros(nb * 128, np.int32)
         per_block[:m] = marked
-        csum = np.cumsum(per_block.reshape(nb, 128).sum(axis=1))
+        blocks = per_block.reshape(nb, 128)
+        csum = np.cumsum(blocks.sum(axis=1))
         sa_mark_ck = np.concatenate([[0], csum]).astype(np.int32)
+        # per-32-row mid counts (exclusive prefix within block, +4 pad rows)
+        per_sub = blocks.reshape(nb, 4, 32).sum(axis=2)
+        mid = np.zeros_like(per_sub)
+        mid[:, 1:] = np.cumsum(per_sub, axis=1)[:, :-1]
+        sa_mark_mid = np.concatenate(
+            [mid.reshape(-1), np.zeros(4, per_sub.dtype)]).astype(np.uint8)
         sa_samples = sa[marked].astype(np.int32)
         sa_store = np.zeros(0, np.int32)
     else:
         sa_marks = np.zeros(0, np.uint32)
         sa_mark_ck = np.zeros(0, np.int32)
+        sa_mark_mid = np.zeros(0, np.uint8)
         sa_samples = np.zeros(0, np.int32)
         sa_store = sa.astype(np.int32)
 
@@ -223,5 +241,6 @@ def build_fm_index(genome: Genome | np.ndarray,
         primary=np.int32(primary),
         packed_genome=pack_2bit(text), n_mask=pack_1bit(codes == 4),
         kmer_lo=kmer_lo, kmer_hi=kmer_hi,
-        sa_marks=sa_marks, sa_mark_ck=sa_mark_ck, sa_samples=sa_samples,
+        sa_marks=sa_marks, sa_mark_ck=sa_mark_ck, sa_mark_mid=sa_mark_mid,
+        sa_samples=sa_samples, has_n=bool((codes == 4).any()),
         n=n, kmer_k=kmer_k, sa_rate=sa_rate)

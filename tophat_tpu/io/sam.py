@@ -36,10 +36,26 @@ def revcomp_ascii(seq: bytes) -> bytes:
     return seq.translate(_RC)[::-1]
 
 
-def mapq_for_nh(nh: int) -> int:
+def mapq_for_nh(nh: int, v2: bool = False) -> int:
+    """MAPQ from the number of placements. Default = the gold-era
+    255-for-unique rule; v2 = the TopHat 2.1.2 rule (50/3/1/0,
+    reference: tophat_reports.cpp:734)."""
+    if v2:
+        if nh <= 1:
+            return 50
+        if nh == 2:
+            return 3
+        if nh <= 4:
+            return 1
+        return 0
     if nh <= 1:
         return 255
     return int(-10.0 * math.log10(1.0 - 1.0 / nh))
+
+
+def ref_span(ops) -> int:
+    """Reference bases consumed by a CIGAR (M/D/N)."""
+    return sum(n for op, n in ops if op in ("M", "D", "N"))
 
 
 def cigar_string(ops: List[Tuple[str, int]]) -> str:

@@ -34,6 +34,56 @@ from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
 NEG = np.int32(2**30)
 
 
+def _lex_rank(keys):
+    """Stable lexicographic rank of each lane within its row.
+
+    keys: list of (B, W) arrays, most-significant first. Returns (B, W)
+    int32 ranks (0 = smallest). All-pairs comparisons + popcount instead of
+    jax.lax.sort: TPU row sorts are bitonic networks costing ~100 ms at
+    (16k, 64), while the O(W^2) comparison tensor is pure VPU work."""
+    B, W = keys[0].shape
+    lt = jnp.zeros((B, W, W), bool)
+    eq = jnp.ones((B, W, W), bool)
+    for k in keys:
+        a = k[:, :, None]
+        b = k[:, None, :]
+        lt = lt | (eq & (b < a))
+        eq = eq & (b == a)
+    j_before_i = jnp.tril(jnp.ones((W, W), bool), -1)[None]
+    return (lt | (eq & j_before_i)).sum(axis=2).astype(jnp.int32)
+
+
+def _permute_by_rank(rank, arrays, W_out=None):
+    """Move each row's lanes to their rank positions; lanes with rank >=
+    W_out fall off the end. Returns arrays reordered to (B, W_out).
+
+    Implemented as a one-hot matmul on the MXU: per-row dynamic scatters /
+    take_along_axis lower to ~25 ms loops on TPU, while the (W_out, W)
+    one-hot contraction is microseconds of systolic-array work. int32
+    values split into two 16-bit planes so float32 accumulation is exact."""
+    B, W = rank.shape
+    W_out = W_out or W
+    onehot = (rank[:, None, :] == jnp.arange(W_out, dtype=jnp.int32)
+              [None, :, None]).astype(jnp.float32)      # (B, W_out, W)
+    planes = []
+    specs = []
+    for a in arrays:
+        v = a.astype(jnp.int32)
+        planes.append((v >> 16).astype(jnp.float32))
+        planes.append((v & 0xFFFF).astype(jnp.float32))
+        specs.append(a.dtype)
+    stacked = jnp.stack(planes, axis=-1)                 # (B, W, 2F)
+    moved = jax.lax.dot_general(
+        onehot, stacked, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (B, W_out, 2F)
+    out = []
+    for f, dt in enumerate(specs):
+        hi = moved[..., 2 * f].astype(jnp.int32)
+        lo = moved[..., 2 * f + 1].astype(jnp.int32)
+        out.append(((hi << 16) | lo).astype(dt))
+    return out
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Alignments:
@@ -74,42 +124,45 @@ def _piece_queries(reads, lengths, num_pieces: int, piece_len: int):
     return jnp.where(ok, q, jnp.int8(-1)).astype(jnp.int32), s, plen
 
 
-def _rolling_kmer_keys(reads, k: int):
-    """keys[b, i] = base-4 value of reads[b, i-k+1 .. i] and a validity
-    mask (all k codes in 0..3). Pure shifted elementwise ops — replaces a
-    per-element piece gather that dominated the aligner's runtime on TPU
-    (element gathers don't vectorize; k shift+multiply-adds do)."""
-    B, L = reads.shape
-    r = reads.astype(jnp.int32)
-    key = jnp.zeros((B, L), jnp.int32)
-    ok = jnp.ones((B, L), bool)
-    for t in range(k):
-        # x at column i = reads[:, i - t] (out-of-range -> invalid)
-        if t:
-            x = jnp.pad(r, ((0, 0), (t, 0)), constant_values=-1)[:, :L]
-        else:
-            x = r
-        key = key + jnp.clip(x, 0, 3) * (4 ** t)
-        ok &= (x >= 0) & (x <= 3)
-    return key, ok
-
-
-def _fast_seed_intervals(fm, reads, lengths, P: int, span: int):
+def _fast_seed_intervals(fm, reads, lengths, P: int, span: int,
+                         uniform_len: int = 0):
     """SA intervals for the last `span` characters of each of the P
-    pigeonhole pieces, via the k-mer table + rolling keys. Requires
-    span >= k and every piece length >= span (kmer_fast_ok).
+    pigeonhole pieces, via the k-mer table. Requires span >= k and every
+    piece length >= span (kmer_fast_ok).
+
+    uniform_len: static read length when every row has it (the common
+    case) — piece boundaries become compile-time constants, so the key
+    bases come from plain slices instead of a row-wise gather.
 
     Returns (lo, hi, cand_base): (B, P) interval bounds and the candidate
     read-start offset base (piece_end - span)."""
     k = fm.kmer_k
     B, L = reads.shape
-    keys, kok = _rolling_kmer_keys(reads, k)
     j = jnp.arange(1, P + 1, dtype=jnp.int32)
-    e = (j[None, :] * lengths[:, None]) // P          # piece ends (B, P)
-    s = ((j - 1)[None, :] * lengths[:, None]) // P
-    pos = jnp.clip(e - 1, 0, L - 1)
-    key_e = jnp.take_along_axis(keys, pos, axis=1)     # (B, P)
-    ok = jnp.take_along_axis(kok, pos, axis=1) & (e - s >= span) & (e >= span)
+    if uniform_len:
+        e_host = [(jj * uniform_len) // P for jj in range(1, P + 1)]
+        s_host = [(jj * uniform_len) // P for jj in range(P)]
+        e = jnp.asarray(e_host, jnp.int32)[None, :]
+        s = jnp.asarray(s_host, jnp.int32)[None, :]
+        cols_np = np.array([[ee - 1 - t for t in range(k)]
+                            for ee in e_host])               # (P, k)
+        x = reads[:, jnp.asarray(np.clip(cols_np.reshape(-1), 0, L - 1))]
+        x = x.reshape(B, P, k).astype(jnp.int32)
+        cols = jnp.asarray(cols_np, jnp.int32)[None]
+    else:
+        e = (j[None, :] * lengths[:, None]) // P      # piece ends (B, P)
+        s = ((j - 1)[None, :] * lengths[:, None]) // P
+        # one fused (B, P*k) gather (row-wise take_along_axis is ~ms-scale
+        # per issue on TPU, so issue it once, not k times)
+        t_off = jnp.arange(k, dtype=jnp.int32)
+        cols = (e[:, :, None] - 1 - t_off[None, None, :])    # (B, P, k)
+        x = jnp.take_along_axis(
+            reads, jnp.clip(cols, 0, L - 1).reshape(B, P * k), axis=1
+        ).reshape(B, P, k).astype(jnp.int32)
+    pw = (4 ** jnp.arange(k, dtype=jnp.int32)).astype(jnp.int32)
+    key_e = jnp.sum(jnp.clip(x, 0, 3) * pw[None, None, :], axis=2)
+    kok = jnp.all((x >= 0) & (x <= 3) & (cols >= 0), axis=2)
+    ok = kok & (e - s >= span) & (e >= span)
     lo = jnp.where(ok, jnp.asarray(fm.kmer_lo)[key_e], 0)
     hi = jnp.where(ok, jnp.asarray(fm.kmer_hi)[key_e], 0)
     if span > k:
@@ -120,8 +173,13 @@ def _fast_seed_intervals(fm, reads, lengths, P: int, span: int):
         C = jnp.asarray(fm.C)
         b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
         for t in range(span - k):
-            col = jnp.clip(e - k - 1 - t, 0, L - 1)
-            c = reads[b_idx, col].astype(jnp.int32)
+            if uniform_len:
+                cst = [max(min((jj * uniform_len) // P - k - 1 - t, L - 1),
+                           0) for jj in range(1, P + 1)]
+                c = reads[:, jnp.asarray(cst, jnp.int32)].astype(jnp.int32)
+            else:
+                col = jnp.clip(e - k - 1 - t, 0, L - 1)
+                c = reads[b_idx, col].astype(jnp.int32)
             is_n = c > 3
             do = (c >= 0) & ~is_n & (lo < hi)
             cc = jnp.clip(c, 0, 3)
@@ -158,7 +216,8 @@ def kmer_fast_ok(fm, min_read_len: int, max_mismatches: int) -> bool:
 
 def _align_one_strand(fm, reads, lengths, max_mismatches: int,
                       hits_per_seed: int, verify_slots: int = 32,
-                      kmer_fast: bool = False):
+                      kmer_fast: bool = False, resolve_cap: int = 0,
+                      uniform_len: int = 0):
     """All placements of `reads` on the forward text with <= max_mismatches.
 
     Candidates are compacted to `verify_slots` per read before mismatch
@@ -182,7 +241,8 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
         # rolling-key path: no per-element piece gather at all
         span = seed_span(fm, max_mismatches, L)
         lo, hi, cand_base = _fast_seed_intervals(fm, reads, lengths, P,
-                                                 span)
+                                                 span,
+                                                 uniform_len=uniform_len)
     else:
         span = piece_len
         q, piece_start, plen = _piece_queries(reads, lengths, P, piece_len)
@@ -196,37 +256,87 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
     h = jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx = lo[:, :, None] + h[None, None, :]                    # (B, P, H)
     seed_valid = idx < hi[:, :, None]
-    hitpos = resolve_sa(fm, idx)
+    if resolve_cap and resolve_cap * B * P < B * P * hits_per_seed:
+        # compact valid SA rows before the (sampled-SA) LF walk: most seeds
+        # have interval width 1, so walking every (read, piece, slot) lane
+        # wastes ~90% of the gather traffic. Reads whose lanes overflow the
+        # cap are flagged truncated — the adaptive wide tier re-runs them
+        # uncompacted (align_reads_adaptive).
+        K = B * P * resolve_cap
+        flat_idx = idx.reshape(-1)
+        flat_valid = seed_valid.reshape(-1)
+        csum = jnp.cumsum(flat_valid.astype(jnp.int32))
+        keep = flat_valid & (csum <= K)
+        dropped = (flat_valid & ~keep).reshape(B, -1).any(axis=1)
+        truncated |= dropped
+        # slot each kept lane at its prefix-count position (no argsort)
+        slot = jnp.where(keep, csum - 1, K)
+        sel = jnp.zeros(K + 1, jnp.int32).at[slot].set(flat_idx)[:K]
+        pos_k = resolve_sa(fm, sel)
+        hitpos = jnp.where(
+            keep, jnp.concatenate([pos_k, jnp.zeros(1, jnp.int32)])[
+                jnp.minimum(slot, K)], 0).reshape(B, P, hits_per_seed)
+        seed_valid = keep.reshape(B, P, hits_per_seed)
+    else:
+        hitpos = resolve_sa(fm, idx)
     # searched substring starts cand_base into the read
     cand = hitpos - cand_base[:, :, None]                      # read start
-    cand = jnp.where(seed_valid, cand, -NEG).reshape(B, P * hits_per_seed)
+    W = P * hits_per_seed
+    cand = jnp.where(seed_valid, cand, -NEG).reshape(B, W)
 
-    # dedup identical candidate positions (several pieces exact at same spot)
-    cand = jnp.sort(cand, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
-    prevalid = (cand > -NEG) & ~dup & (cand >= 0)
+    # dedup identical candidate positions (several pieces exact at same
+    # spot): all-pairs keep-first — no row sort needed
+    eqmat = cand[:, :, None] == cand[:, None, :]
+    dup = (eqmat & jnp.tril(jnp.ones((W, W), bool), -1)[None]).any(axis=2)
+    prevalid = (cand != -NEG) & ~dup & (cand >= 0)
     truncated |= prevalid.sum(axis=1) > verify_slots
 
-    inval = (~prevalid).astype(jnp.int32)
-    _, cand_c, valid_i = jax.lax.sort(
-        (inval, cand, prevalid.astype(jnp.int32)), dimension=1, num_keys=2)
-    cand_c = cand_c[:, :verify_slots]
-    cand_valid = valid_i[:, :verify_slots].astype(bool)
-
     r_packed, bad_e, len_e = pack_reads(reads, lengths)
-    mm = count_mismatches_packed(fm.packed_genome, fm.n_mask, cand_c,
-                                 r_packed, bad_e, len_e, L)
-    cand_valid &= (mm <= max_mismatches) & (cand_c + lengths[:, None] <= fm.n)
-    return cand_c, mm, cand_valid, truncated
+    has_n = getattr(fm, "has_n", True)
+    if resolve_cap:
+        # flat-compact candidates across the batch before verification:
+        # most reads carry 1-3 candidates, so verifying all W slots wastes
+        # ~6x of the two hottest gathers (the packed-genome window fetch).
+        # Rows whose candidates overflow the cap re-run in the wide tier.
+        KV = B * max(resolve_cap * 2, 4)
+        flatv = prevalid.reshape(-1)
+        flatc = cand.reshape(-1)
+        csum = jnp.cumsum(flatv.astype(jnp.int32))
+        keep2 = flatv & (csum <= KV)
+        truncated |= (flatv & ~keep2).reshape(B, W).any(axis=1)
+        slot = jnp.where(keep2, csum - 1, KV)
+        sel_pos = jnp.zeros(KV + 1, jnp.int32).at[slot].set(flatc)[:KV]
+        rows = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, W)).reshape(-1)
+        sel_row = jnp.zeros(KV + 1, jnp.int32).at[slot].set(rows)[:KV]
+        mm_k = count_mismatches_packed(
+            fm.packed_genome, fm.n_mask, sel_pos[None, :],
+            jnp.take(r_packed, sel_row, axis=0)[None],
+            jnp.take(bad_e, sel_row, axis=0)[None],
+            jnp.take(len_e, sel_row, axis=0)[None], L, has_n=has_n)[0]
+        big = jnp.int32(127)
+        mm = jnp.where(
+            keep2, jnp.concatenate([mm_k, jnp.full(1, big, jnp.int32)])[
+                jnp.minimum(slot, KV)], big).reshape(B, W)
+        cand_valid = keep2.reshape(B, W)
+    else:
+        mm = count_mismatches_packed(fm.packed_genome, fm.n_mask, cand,
+                                     r_packed, bad_e, len_e, L,
+                                     has_n=has_n)
+        cand_valid = prevalid
+    cand_valid &= (mm <= max_mismatches) & (cand + lengths[:, None] <= fm.n)
+    return cand, mm.astype(jnp.int32), cand_valid, truncated
 
 
 @partial(jax.jit, static_argnames=("max_mismatches", "hits_per_seed",
-                                   "max_alignments", "kmer_fast"))
+                                   "max_alignments", "kmer_fast",
+                                   "resolve_cap", "uniform_len"))
 def _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, *,
                      max_mismatches: int = 2, hits_per_seed: int = 32,
                      max_alignments: int = 64,
-                     kmer_fast: bool = False) -> Alignments:
+                     kmer_fast: bool = False,
+                     resolve_cap: int = 0,
+                     uniform_len: int = 0) -> Alignments:
     """Align a batch both strands; reads_r must be revcomp(reads_f) with the
     same per-read lengths (padding handled by the caller: both arrays are
     LEFT-aligned code arrays padded with -1).
@@ -234,10 +344,19 @@ def _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, *,
     offsets: contig offset table (num_contigs+1,) — alignments crossing a
     contig boundary in the concatenated genome are rejected.
     """
-    pf, mf, vf, tf = _align_one_strand(fm, reads_f, lengths, max_mismatches,
-                                       hits_per_seed, kmer_fast=kmer_fast)
-    pr, mr, vr, tr = _align_one_strand(fm, reads_r, lengths, max_mismatches,
-                                       hits_per_seed, kmer_fast=kmer_fast)
+    # both strands in ONE stacked pass: every per-op cost (walk loop,
+    # gathers, compactions) is paid once over 2B rows instead of twice
+    B0 = reads_f.shape[0]
+    reads2 = jnp.concatenate([reads_f, reads_r], axis=0)
+    len2 = jnp.concatenate([lengths, lengths], axis=0)
+    p2, m2, v2, t2 = _align_one_strand(fm, reads2, len2, max_mismatches,
+                                       hits_per_seed, kmer_fast=kmer_fast,
+                                       resolve_cap=resolve_cap,
+                                       uniform_len=uniform_len)
+    pf, pr = p2[:B0], p2[B0:]
+    mf, mr = m2[:B0], m2[B0:]
+    vf, vr = v2[:B0], v2[B0:]
+    tf, tr = t2[:B0], t2[B0:]
     C = pf.shape[1]
     pos = jnp.concatenate([pf, pr], axis=1)
     mm = jnp.concatenate([mf, mr], axis=1)
@@ -248,24 +367,24 @@ def _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, *,
     valid &= same_contig(offsets, pos, lengths[:, None])
     n_hits = valid.sum(axis=1).astype(jnp.int32)
 
-    # compact: valid slots first, ordered by (strand, pos); lexicographic
-    # multi-key sort avoids building a combined key that could overflow int32
-    inval = (~valid).astype(jnp.int32)
-    _, strand_s, pos_s, mm_s, valid_s = jax.lax.sort(
-        (inval, strand.astype(jnp.int32), pos, mm,
-         valid.astype(jnp.int32)),
-        dimension=1, num_keys=3)
-    sl = slice(0, max_alignments)
+    # compact: valid slots first, ordered by (strand, pos) — rank+scatter
+    # instead of a (slow) TPU bitonic row sort
+    rank = _lex_rank([(~valid).astype(jnp.int32), strand.astype(jnp.int32),
+                      pos])
+    pos_s, strand_s, mm_s, valid_s = _permute_by_rank(
+        rank, [pos, strand.astype(jnp.int32), mm.astype(jnp.int32),
+               valid.astype(jnp.int32)], max_alignments)
     return Alignments(
-        pos=pos_s[:, sl], strand=strand_s[:, sl].astype(jnp.int8),
-        mm=mm_s[:, sl].astype(jnp.int8), valid=valid_s[:, sl].astype(bool),
+        pos=pos_s, strand=strand_s.astype(jnp.int8),
+        mm=mm_s.astype(jnp.int8), valid=valid_s.astype(bool),
         n_hits=n_hits, truncated=tf | tr)
 
 
 def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
                 max_mismatches: int = 2, hits_per_seed: int = 32,
                 max_alignments: int = 64,
-                kmer_fast: bool = False) -> Alignments:
+                kmer_fast: bool = False, resolve_cap: int = 0,
+                uniform_len: int = 0) -> Alignments:
     """align (see _align_reads_jit); with an active multi-device mesh
     (parallel/auto.py) the batch is sharded over the reads axis and runs
     SPMD — the TPU analog of the reference's per-thread read ranges
@@ -273,7 +392,8 @@ def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
     from tophat_tpu.parallel import auto
 
     kw = dict(max_mismatches=max_mismatches, hits_per_seed=hits_per_seed,
-              max_alignments=max_alignments, kmer_fast=kmer_fast)
+              max_alignments=max_alignments, kmer_fast=kmer_fast,
+              resolve_cap=resolve_cap, uniform_len=uniform_len)
     if auto.active() is None:
         return _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, **kw)
     (rf, rr, ln), B = auto.shard_rows(reads_f, reads_r, lengths)
@@ -293,12 +413,12 @@ def _align_forward_rows_jit(fm, reads, lengths, offsets, *,
         fm, reads, lengths, max_mismatches, hits_per_seed)
     valid &= same_contig(offsets, cand, lengths[:, None])
     n_hits = valid.sum(axis=1).astype(jnp.int32)
-    inval = (~valid).astype(jnp.int32)
-    _, pos_s, mm_s, valid_s = jax.lax.sort(
-        (inval, cand, mm, valid.astype(jnp.int32)), dimension=1, num_keys=2)
-    sl = slice(0, max_hits)
-    return (pos_s[:, sl], mm_s[:, sl].astype(jnp.int8),
-            valid_s[:, sl].astype(bool), n_hits, trunc)
+    rank = _lex_rank([(~valid).astype(jnp.int32), cand])
+    pos_s, mm_s, valid_s = _permute_by_rank(
+        rank, [cand, mm.astype(jnp.int32), valid.astype(jnp.int32)],
+        max_hits)
+    return (pos_s, mm_s.astype(jnp.int8), valid_s.astype(bool), n_hits,
+            trunc)
 
 
 def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
@@ -324,11 +444,15 @@ def align_reads_adaptive(fm, reads_f, reads_r, lengths, offsets, *,
                          max_mismatches: int = 2, max_alignments: int = 64,
                          kmer_fast: bool = False,
                          narrow_hits: int = 8,
-                         wide_hits: int = 32) -> Alignments:
-    """Two-tier alignment: a narrow seed-hit budget for the batch (cheap —
-    most reads have O(1) placements), then a wide re-run for only the rows
-    whose seeds truncated (repeat-family reads). Matches align_reads with
-    hits_per_seed=wide_hits on every read, at close to narrow-budget cost.
+                         wide_hits: int = 32,
+                         resolve_cap: int = 1,
+                         uniform_len: int = 0) -> Alignments:
+    """Two-tier alignment: a narrow seed-hit budget + compacted SA walk for
+    the batch (cheap — most reads have O(1) placements), then a wide
+    uncompacted re-run for only the rows whose seeds truncated or whose
+    walk lanes overflowed the cap (repeat-family reads). Matches
+    align_reads with hits_per_seed=wide_hits on every read, at close to
+    narrow-budget cost.
 
     Host-side control flow: the re-run subset is padded to a power-of-two
     bucket so recompilation stays bounded.
@@ -336,7 +460,8 @@ def align_reads_adaptive(fm, reads_f, reads_r, lengths, offsets, *,
     al = align_reads(fm, reads_f, reads_r, lengths, offsets,
                      max_mismatches=max_mismatches,
                      hits_per_seed=narrow_hits,
-                     max_alignments=max_alignments, kmer_fast=kmer_fast)
+                     max_alignments=max_alignments, kmer_fast=kmer_fast,
+                     resolve_cap=resolve_cap, uniform_len=uniform_len)
     trunc = np.asarray(al.truncated)
     if not trunc.any():
         return al
@@ -348,7 +473,8 @@ def align_reads_adaptive(fm, reads_f, reads_r, lengths, offsets, *,
                        np.asarray(lengths)[pad], offsets,
                        max_mismatches=max_mismatches,
                        hits_per_seed=wide_hits,
-                       max_alignments=max_alignments, kmer_fast=kmer_fast)
+                       max_alignments=max_alignments, kmer_fast=kmer_fast,
+                       uniform_len=uniform_len)
     k = len(idx)
     w_wide = np.asarray(wide.pos).shape[1]
     out = {}

@@ -87,8 +87,14 @@ def resolve_sa(fm, idx):
 
     marks = jnp.asarray(fm.sa_marks)
     ck = jnp.asarray(fm.sa_mark_ck)
+    mark_mid = jnp.asarray(fm.sa_mark_mid)
     samples = jnp.asarray(fm.sa_samples)
+    packed_bwt = jnp.asarray(fm.packed_bwt)
+    occ_ck = jnp.asarray(fm.occ_ck)
+    occ_mid = jnp.asarray(fm.occ_mid)
+    C = jnp.asarray(fm.C)
     m = fm.n + 1
+    fused = occ_mid.shape[0] > 0
 
     def is_marked(i):
         w = marks[jnp.clip(i >> 5, 0, marks.shape[0] - 1)]
@@ -96,6 +102,18 @@ def resolve_sa(fm, idx):
 
     def rank1(i):
         """#marked rows < i (for a marked row i: its sample index)."""
+        if mark_mid.shape[0] > 0:
+            # mid-checkpoint path: 1 byte + 1 word instead of 4 words
+            sub = i // 32
+            base = (ck[jnp.clip(i // 128, 0, ck.shape[0] - 1)]
+                    + mark_mid[jnp.clip(sub, 0, mark_mid.shape[0] - 1)]
+                    .astype(jnp.int32))
+            word = marks[jnp.clip(sub, 0, marks.shape[0] - 1)]
+            covered = (i - sub * 32).astype(jnp.uint32)
+            mask = jnp.where(covered >= 32, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << covered) - jnp.uint32(1))
+            return base + jax.lax.population_count(word & mask).astype(
+                jnp.int32)
         blk = i // 128
         base = ck[jnp.clip(blk, 0, ck.shape[0] - 1)]
         widx = (blk * 4)[..., None] + jnp.arange(4, dtype=jnp.int32)
@@ -108,23 +126,53 @@ def resolve_sa(fm, idx):
         return base + jax.lax.population_count(words & mask).sum(-1).astype(
             jnp.int32)
 
+    def lf_fused(i):
+        """LF-mapping with one fused word-pair fetch: the symbol word
+        (i//16) is one of the two words rank() needs past the 32-base
+        mid-checkpoint, so symbol + partial count share the gathers."""
+        sub = i // 32
+        w0 = packed_bwt[jnp.minimum(sub * 2, packed_bwt.shape[0] - 1)]
+        w1 = packed_bwt[jnp.minimum(sub * 2 + 1, packed_bwt.shape[0] - 1)]
+        in_hi = (i // 16) & 1
+        wsym = jnp.where(in_hi.astype(bool), w1, w0)
+        c = ((wsym >> (2 * (i % 16)).astype(jnp.uint32)) & jnp.uint32(3)
+             ).astype(jnp.int32)
+        base = (occ_ck[jnp.clip(i // 128, 0, occ_ck.shape[0] - 1), c]
+                + occ_mid[jnp.clip(sub, 0, occ_mid.shape[0] - 1), c]
+                .astype(jnp.int32))
+        pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))
+        j = i - sub * 32
+        cnt = jnp.zeros_like(i)
+        for w, off in ((w0, 0), (w1, 16)):
+            x = w ^ pat
+            mbits = ~(x | (x >> 1)) & jnp.uint32(0x55555555)
+            covered = jnp.clip(j - off, 0, 16)
+            mask = jnp.where(covered >= 16, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << (2 * covered).astype(
+                                 jnp.uint32)) - jnp.uint32(1))
+            cnt = cnt + jax.lax.population_count(mbits & mask).astype(
+                jnp.int32)
+        sentinel = ((c == 0) & (fm.primary < i)).astype(jnp.int32)
+        out = C[c] + base + cnt - sentinel
+        return jnp.where(i == fm.primary, 0, out)
+
     i0 = jnp.clip(idx, 0, m - 1).astype(jnp.int32)
 
     def body(_, st):
-        i, steps, pos, done = st
-        mk = is_marked(i)
-        newly = mk & ~done
-        val = samples[jnp.clip(rank1(i), 0, samples.shape[0] - 1)]
-        pos = jnp.where(newly, val + steps, pos)
-        done = done | mk
-        i = jnp.where(done, i, lf(fm, i))
-        steps = jnp.where(done, steps, steps + 1)
-        return (i, steps, pos, done)
+        # walk to the nearest marked row; the sample lookup (rank1 over the
+        # mark bits) is deferred until after the loop — it only depends on
+        # the final row, so paying it per step wasted ~half the gathers
+        i, steps, done = st
+        done2 = done | is_marked(i)
+        nxt = lf_fused(i) if fused else lf(fm, i)
+        i = jnp.where(done2, i, nxt)
+        steps = jnp.where(done2, steps, steps + 1)
+        return (i, steps, done2)
 
-    st = (i0, jnp.zeros_like(i0), jnp.zeros_like(i0),
-          jnp.zeros(i0.shape, bool))
-    _, _, pos, done = jax.lax.fori_loop(0, fm.sa_rate, body, st)
-    return pos
+    st = (i0, jnp.zeros_like(i0), jnp.zeros(i0.shape, bool))
+    i_fin, steps, done = jax.lax.fori_loop(0, fm.sa_rate, body, st)
+    val = samples[jnp.clip(rank1(i_fin), 0, samples.shape[0] - 1)]
+    return val + steps
 
 
 @partial(jax.jit, static_argnames=("max_hits",))

@@ -85,7 +85,7 @@ def _expand_1bit_to_even(x16):
 
 
 def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
-                            len_e, L: int):
+                            len_e, L: int, has_n: bool = True):
     """Word-packed replacement for gather_windows + count_mismatches:
     gathers ~L/16 uint32 words per candidate instead of L bytes and counts
     mismatches with XOR + popcount on the VPU.
@@ -95,7 +95,7 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
     packed_genome = jnp.asarray(packed_genome)
     n_mask = jnp.asarray(n_mask)
     B, C = pos.shape
-    W = r_packed.shape[1]
+    W = r_packed.shape[-1]
     NW = packed_genome.shape[0]
 
     word0 = (pos >> 4)[..., None]
@@ -106,23 +106,26 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
     hi = jnp.where(sh2 > 0, raw[..., 1:] << (32 - sh2), jnp.uint32(0))
     g = lo | hi                                                 # aligned 2-bit
 
-    x = g ^ r_packed[:, None, :]
+    x = g ^ r_packed[:, None, :] if r_packed.ndim == 2 else g ^ r_packed
     m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
 
-    # genome N positions -> even-bit mask
-    W1 = (W + 1) // 2 + 1
-    NW1 = n_mask.shape[0]
-    w0n = (pos >> 5)[..., None]
-    shn = (pos & 31).astype(jnp.uint32)[..., None]
-    rawn = n_mask[jnp.clip(w0n + jnp.arange(W1 + 1), 0, NW1 - 1)]
-    lon = rawn[..., :W1] >> shn
-    hin = jnp.where(shn > 0, rawn[..., 1:] << (32 - shn), jnp.uint32(0))
-    n1 = lon | hin                                              # (B, C, W1)
-    wi = jnp.arange(W)
-    halves = n1[..., wi // 2] >> (16 * (wi % 2)).astype(jnp.uint32)
-    gn2 = _expand_1bit_to_even(halves)
+    if has_n:
+        # genome N positions -> even-bit mask
+        W1 = (W + 1) // 2 + 1
+        NW1 = n_mask.shape[0]
+        w0n = (pos >> 5)[..., None]
+        shn = (pos & 31).astype(jnp.uint32)[..., None]
+        rawn = n_mask[jnp.clip(w0n + jnp.arange(W1 + 1), 0, NW1 - 1)]
+        lon = rawn[..., :W1] >> shn
+        hin = jnp.where(shn > 0, rawn[..., 1:] << (32 - shn), jnp.uint32(0))
+        n1 = lon | hin                                          # (B, C, W1)
+        wi = jnp.arange(W)
+        halves = n1[..., wi // 2] >> (16 * (wi % 2)).astype(jnp.uint32)
+        m2 = m2 | _expand_1bit_to_even(halves)
 
-    m = (m2 | gn2 | bad_e[:, None, :]) & len_e[:, None, :]
+    be = bad_e[:, None, :] if bad_e.ndim == 2 else bad_e
+    le = len_e[:, None, :] if len_e.ndim == 2 else len_e
+    m = (m2 | be) & le
     return jax.lax.population_count(m).sum(axis=-1).astype(jnp.int32)
 
 

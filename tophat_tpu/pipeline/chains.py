@@ -217,7 +217,7 @@ def chain_stitch(fm, gs, seg_tables, events, params,
     out: List[ChainCandidate] = []
     for row in range(rows):
         nseg = int(gs.nseg[row])
-        if nseg < 2:
+        if nseg < 2 or int(gs.read_idx[row]) < 0:
             continue
         # hit lists per segment: (start, end, mm, ev or -1, t_seg)
         hits: List[List[Tuple[int, int, int, int, int]]] = []
@@ -493,6 +493,8 @@ def cross_strand_chains(fm, gs, seg_tables, events, params,
     out: List[ChainCandidate] = []
     for r in range(R):
         rf, rr = r, r + R
+        if int(gs.read_idx[rf]) < 0:
+            continue
         L = int(gs.lengths[rf])
         read_f = gs.readsg[rf]
         read_r = gs.readsg[rr]

@@ -62,8 +62,24 @@ def dedup_events(ev: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {k: v[idx] for k, v in ev.items()}
 
 
+def _library_type_keep(params, strands, rev, read_side):
+    """Strand-specific protocols restrict which splice directions a read
+    may support (reference: juncs_from_ref_segs skip_fwd/skip_rev,
+    segment_juncs.cpp:2110-2137). strands: per-window row strand;
+    rev: per-window motif direction; read_side: 0 left mate, 1 right."""
+    if params.library_type == "fr-unstranded":
+        return np.ones_like(rev, bool)
+    anti = strands.astype(bool)
+    side_right = read_side == 1
+    skip_rev = anti ^ side_right        # fr-firststrand rule
+    if params.library_type == "fr-secondstrand":
+        skip_rev = ~skip_rev
+    return np.where(rev, ~skip_rev, skip_rev)
+
+
 def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
-                    seg_tables=None, log=None) -> Dict[str, np.ndarray]:
+                    seg_tables=None, log=None,
+                    read_side: int = 0) -> Dict[str, np.ndarray]:
     """Split-segment junction search + small-indel detection for one batch
     of genome-space reads. Returns the deduped event table."""
     if gs.rows == 0:
@@ -88,9 +104,17 @@ def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
     sup_max = int(np.max(gs.cuts[:, 1:] - gs.cuts[:, :-1])) + 16 + 1
     jl, jr, jrev, jvalid = scan_windows(fm.genome, readsg, win, sup_max)
 
-    jl = np.asarray(jl)[np.asarray(jvalid)]
-    jr = np.asarray(jr)[np.asarray(jvalid)]
-    jrev = np.asarray(jrev)[np.asarray(jvalid)]
+    jvalid_np = np.asarray(jvalid)
+    if params.library_type != "fr-unstranded":
+        row_strand = gs.strand[np.asarray(win.row)]           # (W,)
+        keep_dir = _library_type_keep(
+            params, np.broadcast_to(row_strand[:, None],
+                                    jvalid_np.shape),
+            np.asarray(jrev), read_side)
+        jvalid_np = jvalid_np & keep_dir
+    jl = np.asarray(jl)[jvalid_np]
+    jr = np.asarray(jr)[jvalid_np]
+    jrev = np.asarray(jrev)[jvalid_np]
     juncs = dict(left=jl.astype(np.int32), right=jr.astype(np.int32),
                  kind=np.full(len(jl), KIND_JUNCTION, np.int8),
                  antisense=jrev.astype(bool),

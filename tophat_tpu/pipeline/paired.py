@@ -27,10 +27,81 @@ from tophat_tpu.pipeline.report import (Candidate, EventStats, _write_beds,
 from tophat_tpu.pipeline.run import pipeline_core
 
 
-def _pair_key(c1: Candidate, c2: Candidate, inner_mean: int) -> tuple:
-    """Higher is better: (combined score, -inner distance error)."""
-    inner = abs(c2.pos - c1.pos) - 0  # inner distance proxy
-    return (c1.score + c2.score, -abs(inner - inner_mean))
+import dataclasses
+import functools
+
+
+@dataclasses.dataclass
+class InsertGrade:
+    """InsertAlignmentGrade (reference: src/inserts.h:33): grades one
+    combination of mate alignments."""
+
+    num_mapped: int
+    edit_dist: int
+    inner_dist: int = 99999999
+    too_close: bool = False
+    too_far: bool = False
+    opposite_strands: bool = False
+    longest_skip: int = 0
+    num_spliced: int = 0
+
+    @property
+    def concordant(self) -> bool:
+        return (self.num_mapped == 2 and self.opposite_strands
+                and not self.too_close and not self.too_far)
+
+
+def _ref_skip(c: Candidate, rl: int) -> int:
+    return max((n for op, n in c.cigar(rl) if op == "N"), default=0)
+
+
+def _grade(c1, c2, rl1, rl2, params) -> InsertGrade:
+    """Grade a mate-pair combination (inserts.h:72: inner distance vs
+    [mean - std_dev, mean + std_dev], strand opposition, summed edit
+    distance, longest intron)."""
+    span1 = samio.ref_span(c1.cigar(rl1))
+    span2 = samio.ref_span(c2.cigar(rl2))
+    if c1.pos <= c2.pos:
+        inner = c2.pos - (c1.pos + span1)
+    else:
+        inner = c1.pos - (c2.pos + span2)
+    mean, std = params.inner_dist_mean, params.inner_dist_std_dev
+    return InsertGrade(
+        num_mapped=2, edit_dist=c1.edit_dist + c2.edit_dist,
+        inner_dist=inner, too_close=inner < mean - std,
+        too_far=inner > mean + std,
+        opposite_strands=c1.strand != c2.strand,
+        longest_skip=max(_ref_skip(c1, rl1), _ref_skip(c2, rl2)) // 100,
+        num_spliced=int(c1.kind >= 0) + int(c2.kind >= 0))
+
+
+def _grade_less(a: InsertGrade, b: InsertGrade) -> bool:
+    """True when b is the "happier" grade (reference comparator's pre-
+    bowtie2 branch, inserts.cpp:22: prefer both-mapped, then — when inner
+    distances differ significantly — not-too-far > too-far, perfect >
+    too-close, closer mates; then lower edit distance, shorter introns)."""
+    if a.num_mapped != b.num_mapped:
+        return a.num_mapped < b.num_mapped
+    if abs(b.inner_dist - a.inner_dist) >= 30:
+        if a.too_far != b.too_far:
+            return a.too_far
+        if a.too_close and not (b.too_close or b.too_far):
+            return True
+        if b.too_close and not (a.too_close or a.too_far):
+            return False
+        if a.inner_dist != b.inner_dist:
+            return b.inner_dist < a.inner_dist
+    if a.edit_dist != b.edit_dist:
+        return b.edit_dist < a.edit_dist
+    if a.longest_skip != b.longest_skip:
+        return b.longest_skip < a.longest_skip
+    return False
+
+
+def _grade_key():
+    return functools.cmp_to_key(
+        lambda x, y: -1 if _grade_less(x[0], y[0])
+        else (1 if _grade_less(y[0], x[0]) else 0))
 
 
 def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
@@ -57,7 +128,8 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                           if c.kind == -2
                           else (c.ev < 0 or c.ev in accepted))]
             strict = [c for c in usable if not c.pair_only]
-            sel[r] = select_best(strict, params.max_multihits, rng)
+            sel[r] = select_best(strict, params.max_multihits, rng,
+                                 params.report_secondary)
             res[r] = [c for c in usable if c.pair_only]
         selected.append(sel)
         rescue.append(res)
@@ -75,30 +147,43 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
             if not pool:
                 continue
             mate_c = selected[other_mi][r][0]
-            best = max(pool, key=lambda c: _pair_key(
-                *((c, mate_c) if mi == 0 else (mate_c, c)),
-                params.inner_dist_mean))
+            rl_own = int((batch1 if mi == 0 else batch2).lengths[r])
+            rl_oth = int((batch2 if mi == 0 else batch1).lengths[r])
+            graded = [(_grade(c, mate_c, rl_own, rl_oth, params), c)
+                      for c in pool]
+            best = max(graded, key=_grade_key())[1]
             selected[mi][r] = [best]
 
     final_stats: Dict[int, EventStats] = {}
     records = []
-    n_pairs = n_single = 0
+    n_pairs = n_single = n_disc = 0
     n = max(batch1.size, batch2.size)
     for r in range(n):
         s1 = selected[0].get(r, []) if r < batch1.size else []
         s2 = selected[1].get(r, []) if r < batch2.size else []
+        pair_grade = None
         if s1 and s2:
-            n_pairs += 1
-            # pair grading (InsertAlignmentGrade role): when either mate
-            # multi-maps, keep the combination with the best combined score
-            # and inner-distance fit
+            rl1 = int(batch1.lengths[r])
+            rl2 = int(batch2.lengths[r])
+            # pair grading (InsertAlignmentGrade, pair_best_alignments
+            # tophat_reports.cpp:358): keep the happiest combination
+            graded = [(_grade(a, b, rl1, rl2, params), (a, b))
+                      for a in s1 for b in s2]
+            pair_grade, (c1, c2) = max(graded, key=_grade_key())
             if len(s1) > 1 or len(s2) > 1:
-                c1, c2 = max(((a, b) for a in s1 for b in s2),
-                             key=lambda p: _pair_key(
-                                 p[0], p[1], params.inner_dist_mean))
                 s1, s2 = [c1], [c2]
+            if params.no_discordant and not pair_grade.concordant:
+                s1, s2 = [], []
+                pair_grade = None
+            else:
+                n_pairs += 1
+                if not pair_grade.concordant:
+                    n_disc += 1
         elif s1 or s2:
-            n_single += 1
+            if params.no_mixed:
+                s1, s2 = [], []
+            else:
+                n_single += 1
         for mi, (own, other, batch) in enumerate(
                 ((s1, s2, batch1), (s2, s1, batch2))):
             mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
@@ -107,11 +192,28 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                 flag = samio.FLAG_PAIRED | mate_bit
                 if c.strand:
                     flag |= samio.FLAG_REVERSE
+                tlen = 0
                 if other:
                     mate = other[0]
                     rnext, pnext = "=", mate.pos
                     if mate.strand:
                         flag |= samio.FLAG_MATE_REVERSE
+                    if params.v2_sam:
+                        # proper-pair flag + TLEN (2.1.2 SAM conventions;
+                        # the gold v1.1.4 outputs carry neither)
+                        if pair_grade is not None and pair_grade.concordant:
+                            flag |= samio.FLAG_PROPER
+                        rl_own = int(batch.lengths[c.read])
+                        span_own = samio.ref_span(c.cigar(rl_own))
+                        rl_oth = int((batch2 if mi == 0
+                                      else batch1).lengths[mate.read])
+                        span_oth = samio.ref_span(mate.cigar(rl_oth))
+                        lo = min(c.pos, mate.pos)
+                        hi = max(c.pos + span_own, mate.pos + span_oth)
+                        tlen = hi - lo
+                        if c.pos > mate.pos or (c.pos == mate.pos
+                                                and mi == 1):
+                            tlen = -tlen
                 else:
                     flag |= samio.FLAG_MATE_UNMAPPED
                     rnext, pnext = "*", -1
@@ -121,14 +223,14 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                     ra = rl - c.t - (c.gap if events["kind"][c.ev] ==
                                      KIND_INSERTION else 0)
                     st.add(c.t, ra, c.mm)
-                records.append((c, nh, rl, flag, rnext, pnext, batch))
+                records.append((c, nh, rl, flag, rnext, pnext, batch, tlen))
 
     records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[3] & 0xC0))
     lines = []
     bam_recs = []
     from tophat_tpu.io.bam import BamRecord
 
-    for c, nh, rl, flag, rnext, pnext, batch in records:
+    for c, nh, rl, flag, rnext, pnext, batch, tlen in records:
         cid, local = genome.global_to_contig(np.int64(c.pos))
         mate_ref = -1
         if rnext == "=":
@@ -145,9 +247,9 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
         lines.append(samio.format_record(
             name=batch.names[c.read], flag=flag,
             ref=genome.names[int(cid)], pos0=int(local),
-            mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl),
+            mapq=samio.mapq_for_nh(nh, params.v2_sam), cigar=c.cigar(rl),
             seq=seq, qual=qual, nm=c.nm(), nh=nh,
-            xs_strand=xs, rnext=rnext, pnext0=pnext))
+            xs_strand=xs, rnext=rnext, pnext0=pnext, tlen=tlen))
         tags = [("NM", "i", c.nm())]
         if xs is not None:
             tags.append(("XS", "A", xs))
@@ -157,8 +259,8 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
         out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
         bam_recs.append(BamRecord(
             batch.names[c.read], flag, int(cid), int(local),
-            samio.mapq_for_nh(nh), c.cigar(rl), mate_ref,
-            pnext if rnext == "=" else -1, 0, out_seq, out_qual, tags))
+            samio.mapq_for_nh(nh, params.v2_sam), c.cigar(rl), mate_ref,
+            pnext if rnext == "=" else -1, tlen, out_seq, out_qual, tags))
     with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
         for ln in lines:
             f.write(ln + "\n")
@@ -207,9 +309,16 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                 ft.add_pair(s1[0], s2[0], int(batch1.lengths[r]),
                             int(batch2.lengths[r]))
         ft.write(os.path.join(out_dir, "fusions.out"))
-    with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
-        f.write(f"Aligned pairs: {n_pairs}\n")
-        f.write(f"Half-mapped reads: {n_single}\n")
+    from tophat_tpu.pipeline.report import write_align_summary
+
+    mapped1 = sum(1 for v in selected[0].values() if v)
+    mapped2 = sum(1 for v in selected[1].values() if v)
+    multi1 = sum(1 for v in selected[0].values() if len(v) > 1)
+    multi2 = sum(1 for v in selected[1].values() if len(v) > 1)
+    write_align_summary(
+        out_dir, ("Left reads", batch1.size, mapped1, multi1, 0),
+        ("Right reads", batch2.size, mapped2, multi2, 0), None,
+        (n_pairs, 0, n_disc), params.max_multihits)
     log(f"paired done in {time.time() - t0:.1f}s; "
         f"{len(records)} records, {n_pairs} pairs")
     return dict(events=events, stats=stats, selected=selected, fm=fm)

@@ -40,6 +40,8 @@ class Params:
     inner_dist_std_dev: int = 20        # --mate-std-dev
     # reads
     quals_scale: str = "phred33"        # phred33|phred64|solexa
+    library_type: str = "fr-unstranded"  # --library-type
+    prefilter_multihits: bool = False   # -M/--prefilter-multihits
     # search toggles
     coverage_search: bool = True
     microexon_search: bool = False
@@ -53,8 +55,15 @@ class Params:
     fusion_multipairs: int = 2
     # reporting
     report_secondary: bool = False      # --report-secondary-alignments
-    no_discordant: bool = False
-    no_mixed: bool = False
+    no_discordant: bool = False         # --no-discordant: report only
+    #                                     concordant pairs
+    no_mixed: bool = False              # --no-mixed: drop half-mapped pairs
+    v2_sam: bool = False                # --v2-sam: TopHat 2.1.2 SAM fields
+    #                                     (proper-pair flag, TLEN, MAPQ
+    #                                     50/3/1/0) instead of the gold
+    #                                     v1.1.4 conventions
+    no_sort_bam: bool = False           # --no-sort-bam: read-order output
+    no_convert_bam: bool = False        # --no-convert-bam: SAM only
     # engine tuning (TPU-side; no reference analog)
     batch_size: int = 16384             # reads per device batch
     hits_per_seed: int = 32             # SA-interval truncation per seed

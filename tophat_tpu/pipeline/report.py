@@ -308,13 +308,17 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
     output analog)."""
     cands: Dict[int, List[Candidate]] = {}
 
+    glen_all = genome_codes.shape[0] if genome_codes is not None else None
     pos = np.asarray(aln.pos)
     strand = np.asarray(aln.strand)
     mm = np.asarray(aln.mm)
     valid = np.asarray(aln.valid)
     for r, c in zip(*np.nonzero(valid)):
+        p0 = int(pos[r, c])
+        if p0 < 0 or (glen_all is not None and p0 >= glen_all):
+            continue
         cands.setdefault(int(r), []).append(Candidate(
-            read=int(r), pos=int(pos[r, c]), strand=int(strand[r, c]),
+            read=int(r), pos=p0, strand=int(strand[r, c]),
             mm=int(mm[r, c]), kind=-1, ev=-1, t=0))
 
     # contiguous stitched chains: full-read placements whose mismatch count
@@ -323,7 +327,13 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
         st_pos, st_mm, st_ok = stitched
         for row, h in zip(*np.nonzero(st_ok)):
             read = int(gs.read_idx[row])
-            c = Candidate(read=read, pos=int(st_pos[row, h]),
+            if read < 0:  # pow2 padding row (pipeline/segment.py)
+                continue
+            p0 = int(st_pos[row, h])
+            rl_row = int(gs.lengths[row])
+            if p0 < 0 or (glen_all is not None and p0 + rl_row > glen_all):
+                continue
+            c = Candidate(read=read, pos=p0,
                           strand=int(gs.strand[row]), mm=int(st_mm[row, h]),
                           kind=-1, ev=-1, t=0)
             # the full-read aligner may have found the same placement
@@ -346,6 +356,8 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
         ev_ilen = events["ins_len"]
         for row, e in zip(*np.nonzero(spl_ok)):
             read = int(gs.read_idx[row])
+            if read < 0:  # pow2 padding row
+                continue
             t = int(spl_t[row, e])
             kind = int(ev_kind[e])
             if kind == KIND_INSERTION:
@@ -403,6 +415,21 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                             params.min_segment_intron)
                 if not (min_i <= gap <= params.max_intron_length):
                     continue
+            # bounds: the placement must stay inside the genome
+            pos0 = int(ev_left[e]) - t + 1
+            glen = (genome_codes.shape[0] if genome_codes is not None
+                    else None)
+            if pos0 < 0:
+                continue
+            if glen is not None:
+                if kind == KIND_FUSION:
+                    if (pos0 + t > glen or int(ev_right[e]) < 0
+                            or int(ev_right[e]) + (rl - t) > glen):
+                        continue
+                else:
+                    span = rl + (gap if kind != KIND_INSERTION else -gap)
+                    if pos0 + span > glen:
+                        continue
             if genome_codes is not None:
                 ok, spl_mms, (rec_ok, pr_ok) = _candidate_checks(
                     genome_codes, gs.readsg[row], gs.cuts[row], rl,
@@ -570,14 +597,17 @@ def filter_junctions(events, stats: Dict[int, EventStats], params,
 
 
 def select_best(cands: List[Candidate], max_multihits: int,
-                rng: np.random.Generator) -> List[Candidate]:
+                rng: np.random.Generator,
+                report_secondary: bool = False) -> List[Candidate]:
     """read_best_alignments semantics (reference: tophat_reports.cpp:113):
     keep all alignments tied at the best score, dedup by placement, cap at
-    max_multihits with random tie down-sampling."""
+    max_multihits with random tie down-sampling. report_secondary keeps
+    below-best alignments too (--report-secondary-alignments)."""
     if not cands:
         return []
     best = max(c.score for c in cands)
-    kept = [c for c in cands if c.score == best]
+    kept = (list(cands) if report_secondary
+            else [c for c in cands if c.score == best])
     seen = set()
     uniq = []
     for c in sorted(kept, key=lambda c: (c.strand, c.pos, c.kind, c.t)):
@@ -648,9 +678,15 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
                             pre, post, c.mm)
                 records.append((c, nh, rl, pi))
 
-    # coordinate sort; ties by global read order then split point
-    records.sort(key=lambda rec: (rec[0].pos, rec[3], rec[0].read,
-                                  rec[0].t))
+    if params.no_sort_bam:
+        # --no-sort-bam: keep read order (reference leaves the merge
+        # unsorted, tophat.py:2783)
+        records.sort(key=lambda rec: (rec[3], rec[0].read, rec[0].pos,
+                                      rec[0].t))
+    else:
+        # coordinate sort; ties by global read order then split point
+        records.sort(key=lambda rec: (rec[0].pos, rec[3], rec[0].read,
+                                      rec[0].t))
 
     # multi-mapped reads: all but the read's last emitted record are
     # secondary (0x100) and carry CC/CP pointing at the next record, the
@@ -679,13 +715,15 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
             cc = "=" if nref == genome.names[int(cid)] else nref
             extra = [f"CC:Z:{cc}", f"CP:i:{npos + 1}"]
         line, brec = _format_aln(genome, batch, c, nh, rl, int(cid),
-                                 int(local), flag, events, extra=extra)
+                                 int(local), flag, events, extra=extra,
+                                 params=params)
         lines.append(line)
         bam_recs.append(brec)
     with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
         for ln in lines:
             f.write(ln + "\n")
-    write_bam_outputs(out_dir, genome, parts, bam_recs)
+    write_bam_outputs(out_dir, genome, parts, bam_recs,
+                      skip_accepted=params.no_convert_bam)
 
     _write_beds(out_dir, genome, events, final_stats)
     if params.fusion_search:
@@ -693,21 +731,58 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
         build_fusion_table(genome, events, params, parts).write(
             os.path.join(out_dir, "fusions.out"))
 
-    with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
-        pct = 100.0 * n_aligned_reads / max(total, 1)
-        f.write("Reads:\n")
-        f.write(f"          Input     :  {total}\n")
-        f.write(f"           Mapped   :  {n_aligned_reads} "
-                f"({pct:.1f}% of input)\n")
-        f.write(f"            of these:  {multimapped} "
-                f"({100.0 * multimapped / max(n_aligned_reads, 1):.1f}%) "
-                f"have multi-alignments\n")
-        f.write(f"{pct:.1f}% overall read mapping rate.\n")
+    write_align_summary(out_dir, ("Reads", total, n_aligned_reads,
+                                   multimapped, 0), None, None, None,
+                        params.max_multihits)
     return records
 
 
+def write_align_summary(out_dir, left, right, unpaired, pairs,
+                        max_multihits):
+    """align_summary.txt in the reference layout (print_alnStats,
+    tophat_reports.cpp:2119). left/right/unpaired: (title, input, mapped,
+    multi, xmulti) or None; pairs: (aligned, multi, discordant) or None."""
+    def side(f, title, total, mapped, multi, xmulti):
+        f.write(f"{title}:\n")
+        f.write("          Input     : %9d\n" % total)
+        f.write("           Mapped   : %9d (%4.1f%% of input)\n"
+                % (mapped, 100.0 * mapped / max(total, 1)))
+        if mapped and multi > 0:
+            f.write("            of these: %9d (%4.1f%%) have multiple "
+                    "alignments (%d have >%d)\n"
+                    % (multi, 100.0 * multi / mapped, xmulti, max_multihits))
+
+    with open(os.path.join(out_dir, "align_summary.txt"), "w") as f:
+        title, total, mapped, multi, xmulti = left
+        side(f, title, total, mapped, multi, xmulti)
+        total_input, total_mapped = total, mapped
+        if right is not None:
+            side(f, *right)
+            total_input += right[1]
+            total_mapped += right[2]
+        if unpaired is not None and unpaired[1]:
+            side(f, *unpaired)
+            total_input += unpaired[1]
+            total_mapped += unpaired[2]
+        f.write("%4.1f%% overall read mapping rate.\n"
+                % (100.0 * total_mapped / max(total_input, 1)))
+        if pairs is not None and pairs[0]:
+            aligned, multi_p, disc = pairs
+            f.write("\nAligned pairs: %9d\n" % aligned)
+            if multi_p > 0:
+                f.write("     of these: %9d (%4.1f%%) have multiple "
+                        "alignments\n"
+                        % (multi_p, 100.0 * multi_p / aligned))
+            if disc > 0:
+                f.write("               %9d (%4.1f%%) are discordant "
+                        "alignments\n" % (disc, 100.0 * disc / aligned))
+            conc = aligned - disc
+            f.write("%4.1f%% concordant pair alignment rate.\n"
+                    % (100.0 * conc / max(aligned, 1)))
+
+
 def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
-                local: int, flag: int, events, extra=None):
+                local: int, flag: int, events, extra=None, params=None):
     from tophat_tpu.index.fasta import decode_seq
     from tophat_tpu.io.bam import BamRecord
 
@@ -751,10 +826,11 @@ def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
               f"{pos1 - int(genome.offsets[cid]) + 1} "
               f"{int(rlocal) + 1} {fdir}")
         extra = (extra or []) + [xf]
+    v2 = bool(getattr(params, "v2_sam", False)) if params else False
     line = samio.format_record(
         name=batch.names[c.read], flag=flag, ref=genome.names[cid],
-        pos0=local, mapq=samio.mapq_for_nh(nh), cigar=c.cigar(rl), seq=seq,
-        qual=qual, nm=c.nm(), nh=nh, xs_strand=xs, extra=extra)
+        pos0=local, mapq=samio.mapq_for_nh(nh, v2), cigar=c.cigar(rl),
+        seq=seq, qual=qual, nm=c.nm(), nh=nh, xs_strand=xs, extra=extra)
     tags = [("NM", "i", c.nm())]
     if xs is not None:
         tags.append(("XS", "A", xs))
@@ -766,24 +842,27 @@ def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
     out_seq = samio.revcomp_ascii(seq) if flag & samio.FLAG_REVERSE else seq
     out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
     brec = BamRecord(batch.names[c.read], flag, cid, local,
-                     samio.mapq_for_nh(nh), c.cigar(rl), -1, -1, 0,
+                     samio.mapq_for_nh(nh, v2), c.cigar(rl), -1, -1, 0,
                      out_seq, out_qual, tags)
     return line, brec
 
 
-def write_bam_outputs(out_dir, genome, parts, bam_recs):
+def write_bam_outputs(out_dir, genome, parts, bam_recs,
+                      skip_accepted=False):
     """accepted_hits.bam (coordinate-sorted, same order as the SAM) and
-    unmapped.bam (reference output contract: SURVEY.md appendix)."""
+    unmapped.bam (reference output contract: SURVEY.md appendix);
+    skip_accepted = --no-convert-bam (SAM only)."""
     from tophat_tpu.index.fasta import decode_seq
     from tophat_tpu.io.bam import BamRecord, BamWriter
 
     header = "\n".join(samio.header_lines(genome)) + "\n"
     lens = [int(x) for x in genome.contig_lengths()]
-    w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
-                  genome.names, lens)
-    for r in bam_recs:
-        w.write(r)
-    w.close()
+    if not skip_accepted:
+        w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
+                      genome.names, lens)
+        for r in bam_recs:
+            w.write(r)
+        w.close()
 
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
                   "\n".join(samio.header_lines(genome, "unsorted")) + "\n",

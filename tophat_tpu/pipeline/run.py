@@ -94,13 +94,20 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     min_len = int(lengths.min()) if len(lengths) else 0
     from tophat_tpu.ops.align import align_reads_adaptive
 
+    max_len = int(lengths.max()) if len(lengths) else 0
     aln = align_reads_adaptive(
         fm, reads_f, reads_r, lengths, offsets,
         max_mismatches=params.read_mismatches,
         max_alignments=params.max_alignments,
         kmer_fast=kmer_fast_ok(fm, min_len, params.read_mismatches),
         narrow_hits=min(8, params.hits_per_seed),
-        wide_hits=params.hits_per_seed)
+        wide_hits=params.hits_per_seed,
+        uniform_len=min_len if min_len == max_len else 0)
+    if params.prefilter_multihits:
+        # -M/--prefilter-multihits (reference: tophat.py:3995-4026 +
+        # prep_reads flt_reads): reads with more than max_multihits genomic
+        # placements are dropped before any spliced stage
+        keep = keep & ~(np.asarray(aln.n_hits) > params.max_multihits)
     valid = np.asarray(aln.valid) & keep[:, None]
     n_hits = np.where(keep, np.asarray(aln.n_hits), 0)
     aln = Alignments(pos=np.asarray(aln.pos), strand=np.asarray(aln.strand),
@@ -109,7 +116,8 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     ium = keep & (n_hits == 0)
     log(f"genome map: {int((n_hits > 0).sum())} mapped, {int(ium.sum())} IUM")
     gs = build_genome_space(reads_f, reads_r, lengths,
-                            params.segment_length, row_mask=ium)
+                            params.segment_length, row_mask=ium,
+                            pad_rows_pow2=True)
     seg_tables = None
     stitched = None
     if gs.rows:
@@ -141,8 +149,9 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
 
     # joint discovery over every mate's IUM reads
     tables = [discover_events(fm, offsets, m.gs, params,
-                              seg_tables=m.seg_tables, log=log)
-              for m in mates]
+                              seg_tables=m.seg_tables, log=log,
+                              read_side=mi)
+              for mi, m in enumerate(mates)]
     if params.coverage_search:
         from tophat_tpu.pipeline.coverage import coverage_search_events
 
@@ -258,6 +267,8 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
                                           res["posA"], res["posB"],
                                           res["mm"]):
                 read = int(m.gs.read_idx[int(rr)])
+                if read < 0:  # pow2 padding row
+                    continue
                 rl = int(m.gs.lengths[int(rr)])
                 t = int(t)
                 if t < 3 or rl - t < 3:  # record-geometry floor; the 20bp
@@ -300,7 +311,8 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
         usable = [c for c in clist
                   if (all(e in accepted for e in c.chain_events)
                       if c.kind == -2 else (c.ev < 0 or c.ev in accepted))]
-        selected[r] = select_best(usable, params.max_multihits, rng)
+        selected[r] = select_best(usable, params.max_multihits, rng,
+                                      params.report_secondary)
 
     records = write_outputs(out_dir, genome, params, batch, selected, events)
     log(f"done in {time.time() - t0:.1f}s; {len(records)} alignments "
@@ -362,7 +374,8 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
                       if (all(e in accepted for e in c.chain_events)
                           if c.kind == -2
                           else (c.ev < 0 or c.ev in accepted))]
-            selected[r] = select_best(usable, params.max_multihits, rng)
+            selected[r] = select_best(usable, params.max_multihits, rng,
+                                      params.report_secondary)
         parts.append((m.batch, selected))
 
     records = write_outputs_multi(out_dir, genome, params, parts, events)

@@ -40,14 +40,22 @@ class GenomeSpaceReads:
 
 def build_genome_space(reads_f: np.ndarray, reads_r: np.ndarray,
                        lengths: np.ndarray, segment_length: int,
-                       row_mask: np.ndarray | None = None) -> GenomeSpaceReads:
+                       row_mask: np.ndarray | None = None,
+                       pad_rows_pow2: bool = False) -> GenomeSpaceReads:
     """reads_f/reads_r: (R, L) from ops.align.pad_reads; row_mask selects the
-    subset of reads to include (e.g. the IUM reads)."""
+    subset of reads to include (e.g. the IUM reads).
+
+    pad_rows_pow2 pads the read count to the next power of two with dummy
+    rows (read_idx -1, length 0) so the device stages of successive batches
+    hit the same compiled shapes instead of recompiling per IUM count."""
     if row_mask is None:
         row_mask = np.ones(len(lengths), bool)
     idx = np.nonzero(row_mask)[0].astype(np.int32)
     R = len(idx)
     L = reads_f.shape[1]
+    pad = 0
+    if pad_rows_pow2 and R:
+        pad = (1 << max(3, (R - 1).bit_length())) - R
 
     @lru_cache(maxsize=None)
     def offs(l):
@@ -66,9 +74,23 @@ def build_genome_space(reads_f: np.ndarray, reads_r: np.ndarray,
         cuts_r[i, : k + 1] = rev
         cuts_r[i, k + 1:] = rev[-1]
 
+    rf_sel = reads_f[idx]
+    rr_sel = reads_r[idx]
+    len_sel = lengths[idx].astype(np.int32)
+    if pad:
+        z8 = np.full((pad, L), -1, np.int8)
+        rf_sel = np.concatenate([rf_sel, z8])
+        rr_sel = np.concatenate([rr_sel, z8])
+        len_sel = np.concatenate([len_sel, np.zeros(pad, np.int32)])
+        cuts_f = np.concatenate([cuts_f, np.zeros((pad, S + 1), np.int32)])
+        cuts_r = np.concatenate([cuts_r, np.zeros((pad, S + 1), np.int32)])
+        nseg1 = np.concatenate([nseg1, np.ones(pad, np.int32)])
+        idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
+        R += pad
+
     return GenomeSpaceReads(
-        readsg=np.concatenate([reads_f[idx], reads_r[idx]]),
-        lengths=np.concatenate([lengths[idx], lengths[idx]]).astype(np.int32),
+        readsg=np.concatenate([rf_sel, rr_sel]),
+        lengths=np.concatenate([len_sel, len_sel]),
         cuts=np.concatenate([cuts_f, cuts_r]),
         nseg=np.concatenate([nseg1, nseg1]),
         read_idx=np.concatenate([idx, idx]),
