@@ -1,0 +1,123 @@
+"""Bowtie2-mode gapped initial alignment.
+
+The reference's default aligner is bowtie2 end-to-end `-k` with a driver-
+computed score floor: `--score-min C,-(mp_max*edit_dist + 2),0` with
+mp = 6,2 / rdg = rfg = 5,3 (reference: src/tophat.py:2328-2339, option
+assembly :2246-2353). Reads carrying one small indel align DIRECTLY —
+without the segment pipeline. This module reproduces that contract on TPU:
+
+For every unaligned read and every pigeonhole seed candidate q, one compare
+tensor over diagonal shifts s in [-g, g] yields prefix/suffix mismatch
+cumsums for ALL placements with one gap: a deletion of d genome bases with
+anchor a = q + s0 costs pref[s0][t] + suf[s0 + d][t]; an insertion of i
+read bases costs pref[s0][t] + suf_from[t + i][s0 - i]. Scoring follows
+bowtie2: 6*mm + 5 + 3*gap <= 6*read_edit_dist + 2.
+
+The result feeds the pipeline as (a) novel indel EVENTS (reported in the
+BED tracks like any discovered indel) and (b) direct read candidates that
+bypass the v1.1.4 segment-path admission (this path exists only in
+bowtie2-mode, --bowtie2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.int32(32767)
+
+
+@partial(jax.jit, static_argnames=("max_gap", "max_edit"))
+def gapped_scan(genome, reads, lengths, cand, cand_valid,
+                max_gap: int, max_edit: int):
+    """Best single-gap alignment per read over its candidate anchors.
+
+    reads (B, L) genome-space codes; cand (B, C) candidate window starts
+    (from the ungapped pigeonhole seeds). Returns per read:
+      (pos, t, gap, mm, ok) — gap > 0 deletion of gap genome bases after
+    read prefix t; gap < 0 insertion of -gap read bases at t; penalty
+    6*mm + 5 + 3*|gap| <= 6*max_edit + 2 and leftmost-best.
+    """
+    genome = jnp.asarray(genome)
+    n = genome.shape[0]
+    B, L = reads.shape
+    C = cand.shape[1]
+    g = max_gap
+    S = 2 * g + 1                              # diagonal shifts -g..g
+    u = jnp.arange(L, dtype=jnp.int32)
+
+    # compare tensor: bad[b, c, s, u] = read[b,u] vs genome[cand+s-g+u]
+    shifts = jnp.arange(-g, g + 1, dtype=jnp.int32)
+    gidx = (cand[:, :, None, None] + shifts[None, None, :, None]
+            + u[None, None, None, :])
+    gv = jnp.where((gidx >= 0) & (gidx < n),
+                   genome[jnp.clip(gidx, 0, n - 1)], jnp.int8(5))
+    r = reads[:, None, None, :]
+    in_read = (u[None, None, None, :] < lengths[:, None, None, None])
+    bad = (((gv != r) | (gv >= 4) | (r >= 4) | (r < 0)) & in_read)
+
+    pref = jnp.cumsum(bad, axis=3, dtype=jnp.int32)      # mm in read[0..u]
+    # pref_before[t] = mm in read[0:t)
+    pref_before = jnp.concatenate(
+        [jnp.zeros((B, C, S, 1), jnp.int32), pref[..., :-1]], axis=3)
+    suf = jnp.cumsum(bad[..., ::-1], axis=3,
+                     dtype=jnp.int32)[..., ::-1]          # mm in read[u:)
+    suf = jnp.concatenate([suf, jnp.zeros((B, C, S, 1), jnp.int32)], axis=3)
+
+    t = u[None, None, :]
+    best_pen = jnp.full((B, C), BIG)
+    best_t = jnp.zeros((B, C), jnp.int32)
+    best_gap = jnp.zeros((B, C), jnp.int32)
+    best_mm = jnp.zeros((B, C), jnp.int32)
+    best_s0 = jnp.zeros((B, C), jnp.int32)
+    score_floor = 6 * max_edit + 2
+
+    def consider(pen_t, tt, d, s0, mm_t, state):
+        bp, bt, bg, bm, bs = state
+        pen = jnp.min(pen_t, axis=2)
+        tmin = jnp.argmin(pen_t, axis=2).astype(jnp.int32)
+        mmv = jnp.take_along_axis(mm_t, tmin[:, :, None], axis=2)[:, :, 0]
+        better = pen < bp
+        return (jnp.where(better, pen, bp),
+                jnp.where(better, tmin, bt),
+                jnp.where(better, d, bg),
+                jnp.where(better, mmv, bm),
+                jnp.where(better, s0, bs))
+
+    state = (best_pen, best_t, best_gap, best_mm, best_s0)
+    interior = (t >= 1) & (t <= lengths[:, None, None] - 1)
+    for s0 in range(-g, g + 1):
+        # deletions: suffix diagonal s0 + d
+        for d in range(1, g + 1):
+            if not (-g <= s0 + d <= g):
+                continue
+            mm_t = (pref_before[:, :, s0 + g, :]
+                    + suf[:, :, s0 + d + g, :L])
+            pen_t = jnp.where(interior, 6 * mm_t + 5 + 3 * d, BIG)
+            state = consider(pen_t, t, d, s0, mm_t, state)
+        # insertions: suffix starts at read index t + i, diagonal s0 - i
+        for i in range(1, g + 1):
+            if not (-g <= s0 - i <= g):
+                continue
+            suf_at = jnp.clip(t + i, 0, L)
+            sfi = jnp.take_along_axis(
+                suf[:, :, s0 - i + g, :],
+                jnp.broadcast_to(suf_at, (B, C, L)), axis=2)
+            mm_t = pref_before[:, :, s0 + g, :] + sfi
+            ins_ok = interior & (t + i <= lengths[:, None, None] - 1)
+            pen_t = jnp.where(ins_ok, 6 * mm_t + 5 + 3 * i, BIG)
+            state = consider(pen_t, t, -i, s0, mm_t, state)
+    best_pen, best_t, best_gap, best_mm, best_s0 = state
+
+    ok = cand_valid & (best_pen <= score_floor)
+    pos = cand + best_s0 - 0
+    # best candidate per read (smallest penalty, then leftmost pos)
+    pen_masked = jnp.where(ok, best_pen, BIG)
+    ci = jnp.argmin(pen_masked + 0, axis=1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, ci[:, None], axis=1)[:, 0]
+    read_ok = jnp.min(pen_masked, axis=1) <= score_floor
+    return (take(pos), take(best_t), take(best_gap), take(best_mm),
+            read_ok)
