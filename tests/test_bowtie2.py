@@ -1,0 +1,80 @@
+"""Bowtie2-mode initial alignment (--b2): direct gapped alignment of IUM
+reads under the driver's score floor 6*mm + 5 + 3*gap <= 6*read_edit_dist + 2
+(reference: src/tophat.py:2253-2337 bowtie2 option assembly; rdg/rfg 5,3 and
+mp 6,2 defaults).
+
+The fixture reads carry an indel placed so that the segment-pair discovery
+path CANNOT recover it (the indel-bearing segment has no ungapped hit, so no
+adjacent-segment pair forms) — only the direct gapped aligner finds these
+reads, and the read-gap-length/read-edit-dist flags gate it.
+"""
+
+import numpy as np
+import pytest
+
+from tophat_tpu.index.fasta import Genome, decode_seq
+from tophat_tpu.io.fastq import batch_reads
+from tophat_tpu.pipeline.params import Params
+from tophat_tpu.pipeline.run import run_pipeline
+
+
+def _fixture(rng, indel):
+    """Reads of 40bp over a 6000bp genome; with segment_length 20 the read
+    splits 20+20. The event sits 10bp into the SECOND segment: the first
+    segment maps clean, the second has no ungapped placement."""
+    n = 6000
+    codes = rng.integers(0, 4, n).astype(np.int8)
+    genome = Genome(codes=codes, offsets=np.array([0, n]), names=["chrT"])
+    reads = []
+    for i in range(4):
+        s = 1000 + 97 * i                  # prefix [s, s+30)
+        if indel > 0:                      # deletion of `indel` genome bases
+            seq = np.concatenate([codes[s:s + 30],
+                                  codes[s + 30 + indel:s + 40 + indel]])
+        else:                              # insertion of |indel| read bases
+            ins = rng.integers(0, 4, -indel).astype(np.int8)
+            seq = np.concatenate([codes[s:s + 30], ins,
+                                  codes[s + 30:s + 40 + indel]])
+        assert len(seq) == 40
+        reads.append((f"r{i}", decode_seq(seq), b"I" * 40))
+    return genome, batch_reads(reads)
+
+
+def _run(genome, batch, tmp_path, **kw):
+    params = Params(segment_length=20, coverage_search=False, **kw)
+    return run_pipeline(genome, batch, params, str(tmp_path),
+                        log=lambda *a: None)
+
+
+@pytest.mark.parametrize("indel,op", [(2, "D"), (-2, "I")])
+def test_b2_recovers_indel_without_segment_search(indel, op, tmp_path):
+    rng = np.random.default_rng(7)
+    genome, batch = _fixture(rng, indel)
+
+    out = _run(genome, batch, tmp_path / "off")
+    n_off = sum(len(v) for v in out["selected"].values())
+    assert n_off == 0, "fixture leak: segment path recovered the indel"
+
+    out = _run(genome, batch, tmp_path / "on", bowtie2=True)
+    n_on = sum(len(v) for v in out["selected"].values())
+    assert n_on == 4, "bowtie2 mode must align all 4 indel reads"
+    sam = open(tmp_path / "on" / "accepted_hits.sam").read()
+    assert f"2{op}" in sam.replace("\t", " ")
+    bed = open(tmp_path / "on" /
+               ("deletions.bed" if op == "D" else "insertions.bed")).read()
+    assert len(bed.splitlines()) >= 2, "event missing from BED track"
+
+
+def test_b2_score_floor_flags_gate_the_path(tmp_path):
+    rng = np.random.default_rng(7)
+    genome, batch = _fixture(rng, 2)
+
+    # read-edit-dist 0 -> floor 2 < minimum gap penalty 5+3: nothing aligns
+    out = _run(genome, batch, tmp_path / "strict", bowtie2=True,
+               read_edit_dist=0)
+    assert sum(len(v) for v in out["selected"].values()) == 0
+
+    # read-gap-length 1 -> a 2bp deletion is out of reach
+    out = _run(genome, batch, tmp_path / "nogap", bowtie2=True,
+               read_gap_length=1)
+    assert sum(len(v) for v in out["selected"].values()) == 0

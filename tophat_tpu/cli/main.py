@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-coverage-intron", type=int, default=20000)
     p.add_argument("--bowtie1", action="store_true",
                    help="accepted for compatibility; no external aligner")
+    p.add_argument("--b2", "--bowtie2", dest="bowtie2", action="store_true",
+                   help="bowtie2-mode initial alignment: direct gapped "
+                        "alignment of unmapped reads under the driver "
+                        "score floor 6*mm+5+3*gap <= 6*read-edit-dist+2 "
+                        "(reference: tophat.py:2253-2337); finds small "
+                        "indels without segment search")
     p.add_argument("--fusion-search", action="store_true")
     p.add_argument("--fusion-anchor-length", type=int, default=20)
     p.add_argument("--fusion-min-dist", type=int, default=10000000)
@@ -241,6 +247,7 @@ def main(argv=None):
         read_mismatches=args.read_mismatches,
         read_gap_length=args.read_gap_length,
         read_edit_dist=args.read_edit_dist,
+        bowtie2=args.bowtie2,
         max_multihits=args.max_multihits,
         segment_length=args.segment_length,
         segment_mismatches=args.segment_mismatches,

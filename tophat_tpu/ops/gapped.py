@@ -121,3 +121,90 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
     read_ok = jnp.min(pen_masked, axis=1) <= score_floor
     return (take(pos), take(best_t), take(best_gap), take(best_mm),
             read_ok)
+
+
+MAX_CAND = 8
+
+
+def gapped_from_segments(genome_codes, gs, seg_tables, params):
+    """Bowtie2-mode direct gapped alignment of the IUM rows, seeded by the
+    ungapped segment hits (the role of bowtie2's own seed-and-extend; the
+    score contract is the driver's, reference src/tophat.py:2253-2259).
+
+    Returns (events, results): `events` is a pipeline/juncs.py event-table
+    dict of the novel indels found; `results` is a list of
+    (row, pos, t, gap, mm, ev_key) with ev_key = (kind, left, right) for
+    looking the merged event index back up in candidates_for_mate.
+    """
+    import numpy as np
+
+    from tophat_tpu.ops.events import MAX_INS
+    from tophat_tpu.ops.splice import KIND_DELETION, KIND_INSERTION
+
+    seg_pos, seg_mm, seg_valid = (np.asarray(a) for a in seg_tables[:3])
+    rows = gs.rows
+    if rows == 0:
+        return None, []
+    S = seg_pos.shape[1]
+    # candidate window start implied by each segment hit: hit - cut offset
+    anchors = seg_pos - gs.cuts[:, :S, None]              # (2R, S, H)
+    anchors = anchors.reshape(rows, -1)
+    avalid = seg_valid.reshape(rows, -1)
+
+    cand = np.zeros((rows, MAX_CAND), np.int32)
+    cvalid = np.zeros((rows, MAX_CAND), bool)
+    for r in range(rows):
+        u = np.unique(anchors[r][avalid[r]])
+        u = u[:MAX_CAND]
+        cand[r, : len(u)] = u
+        cvalid[r, : len(u)] = True
+    if not cvalid.any():
+        return None, []
+
+    g = max(1, min(params.read_gap_length,
+                   max(params.max_deletion_length,
+                       params.max_insertion_length)))
+    pos, t, gap, mm, ok = (np.asarray(x) for x in gapped_scan(
+        genome_codes, jnp.asarray(gs.readsg), jnp.asarray(gs.lengths),
+        jnp.asarray(cand), jnp.asarray(cvalid),
+        max_gap=g, max_edit=params.read_edit_dist))
+
+    ev_left, ev_right, ev_kind = [], [], []
+    ev_ilen, ev_iseq = [], []
+    results = []
+    for r in np.nonzero(ok)[0]:
+        if int(gs.read_idx[r]) < 0:     # pow2 padding row
+            continue
+        gp, tt, p0 = int(gap[r]), int(t[r]), int(pos[r])
+        if gp == 0:
+            continue                    # pure-mismatch placement: the
+        #                                 ungapped aligner's domain
+        if gp > 0:
+            if gp > params.max_deletion_length:
+                continue
+            left, right = p0 + tt - 1, p0 + tt + gp
+            kind, ilen = KIND_DELETION, 0
+            iseq = np.full(MAX_INS, -1, np.int8)
+        else:
+            if -gp > params.max_insertion_length:
+                continue
+            left, right = p0 + tt - 1, p0 + tt
+            kind, ilen = KIND_INSERTION, -gp
+            iseq = np.full(MAX_INS, -1, np.int8)
+            iseq[:ilen] = gs.readsg[r, tt:tt + ilen]
+        ev_left.append(left)
+        ev_right.append(right)
+        ev_kind.append(kind)
+        ev_ilen.append(ilen)
+        ev_iseq.append(iseq)
+        results.append((int(r), p0, tt, gp, int(mm[r]),
+                        (int(kind), left, right)))
+    if not results:
+        return None, []
+    events = dict(left=np.array(ev_left, np.int32),
+                  right=np.array(ev_right, np.int32),
+                  kind=np.array(ev_kind, np.int8),
+                  antisense=np.zeros(len(ev_left), bool),
+                  ins_len=np.array(ev_ilen, np.int8),
+                  ins_seq=np.stack(ev_iseq))
+    return events, results

@@ -38,6 +38,13 @@ class Params:
     # pairing
     inner_dist_mean: int = 50           # -r/--mate-inner-dist
     inner_dist_std_dev: int = 20        # --mate-std-dev
+    # aligner mode
+    bowtie2: bool = False               # --b2/--bowtie2: direct gapped
+    #                                     initial alignment with the
+    #                                     driver's score floor
+    #                                     (reference tophat.py:2253-2259);
+    #                                     off = bowtie1 -v semantics (the
+    #                                     regression gold's era)
     # reads
     quals_scale: str = "phred33"        # phred33|phred64|solexa
     library_type: str = "fr-unstranded"  # --library-type

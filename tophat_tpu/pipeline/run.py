@@ -77,6 +77,8 @@ class MateState:
     seg_tables: tuple = None
     stitched: tuple = None  # (pos, mm, ok) (rows, H) contiguous chains
     cands: Optional[Dict[int, list]] = None
+    gapped: list = None     # bowtie2-mode direct gapped results
+    gapped_events: Optional[dict] = None
 
 
 def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
@@ -129,9 +131,20 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
             jnp.asarray(seg_tables[2]), jnp.asarray(gs.cuts),
             jnp.asarray(gs.nseg))
         stitched = tuple(np.asarray(x) for x in st)
+    gapped, gapped_events = None, None
+    if params.bowtie2 and seg_tables is not None:
+        # bowtie2-mode direct gapped alignment of the IUM reads (no
+        # segment-pair discovery needed; reference tophat.py:2253-2337)
+        from tophat_tpu.ops.gapped import gapped_from_segments
+
+        gapped_events, gapped = gapped_from_segments(
+            np.asarray(fm.genome), gs, seg_tables, params)
+        if gapped:
+            log(f"bowtie2 gapped: {len(gapped)} direct indel alignments")
     return MateState(batch=batch, keep=keep, aln=aln, gs=gs,
                      prep_stats=prep_stats, seg_tables=seg_tables,
-                     stitched=stitched)
+                     stitched=stitched, gapped=gapped,
+                     gapped_events=gapped_events)
 
 
 def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
@@ -184,6 +197,9 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
                     log(f"microexon search: {len(mev['left'])} "
                         f"window candidates")
                 tables.append(mev)
+    for m in mates:
+        if m.gapped_events is not None:
+            tables.append(m.gapped_events)
     if known_events is not None:
         tables.append(known_events)
     events = merge_events(*tables)
@@ -255,6 +271,34 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
                                  stitched=m.stitched,
                                  genome_codes=np.asarray(fm.genome),
                                  chain_cands=chain_cands, paired=paired)
+
+    # bowtie2-mode direct gapped candidates (bypass the v1.1.4 segment-path
+    # indel admission — these come straight from the initial aligner)
+    if m.gapped:
+        from tophat_tpu.pipeline.report import Candidate
+
+        ev_index = {}
+        for i in range(len(events["left"])):
+            ev_index[(int(events["kind"][i]), int(events["left"][i]),
+                      int(events["right"][i]))] = i
+        nb2 = 0
+        for row, pos, t, gap, mm2, key in m.gapped:
+            read = int(m.gs.read_idx[row])
+            if read < 0:
+                continue
+            ev = ev_index.get(key, -1)
+            if ev < 0:
+                continue
+            c = Candidate(read=read, pos=pos, strand=int(m.gs.strand[row]),
+                          mm=mm2, kind=int(events["kind"][ev]), ev=ev, t=t,
+                          gap=abs(gap), record_ok=True)
+            lst = m.cands.setdefault(read, [])
+            if not any(x.kind == c.kind and x.ev == ev and x.t == t
+                       and x.pos == pos for x in lst):
+                lst.append(c)
+                nb2 += 1
+        if nb2:
+            log(f"bowtie2 direct candidates: {nb2}")
 
     # cross-strand (FR/RF) fusion candidates
     if params.fusion_search and m.gs.rows:
@@ -349,6 +393,8 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
 
             tables.append(coverage_search_events(fm, genome, m.gs,
                                                  m.seg_tables, params))
+        if m.gapped_events is not None:
+            tables.append(m.gapped_events)
         chunks.append(m)
         log(f"chunk {bi}: {batch.size} reads")
     if known_events is not None:
