@@ -126,10 +126,22 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
 MAX_CAND = 8
 
 
-def gapped_from_segments(genome_codes, gs, seg_tables, params):
+def gapped_from_segments(genome_codes, gs, seg_tables, params,
+                         offsets=None):
     """Bowtie2-mode direct gapped alignment of the IUM rows, seeded by the
     ungapped segment hits (the role of bowtie2's own seed-and-extend; the
     score contract is the driver's, reference src/tophat.py:2253-2259).
+
+    Single-best approximation: gapped_scan keeps ONE best-penalty placement
+    per read (leftmost on ties), where bowtie2 -k would report up to k tied
+    placements. Reads with several equally-scored gapped placements get
+    NH=1 here; their ungapped/spliced placements still flow through the
+    normal multihit machinery.
+
+    offsets: contig offset table — placements that leave the genome or
+    deletions spanning a contig boundary of the concatenated genome are
+    dropped (same guard discover_events applies to its own candidates,
+    pipeline/juncs.py).
 
     Returns (events, results): `events` is a pipeline/juncs.py event-table
     dict of the novel indels found; `results` is a list of
@@ -147,28 +159,50 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params):
         return None, []
     S = seg_pos.shape[1]
     # candidate window start implied by each segment hit: hit - cut offset
-    anchors = seg_pos - gs.cuts[:, :S, None]              # (2R, S, H)
-    anchors = anchors.reshape(rows, -1)
-    avalid = seg_valid.reshape(rows, -1)
+    anchors = (seg_pos - gs.cuts[:, :S, None]).reshape(rows, -1)
+    amm = np.broadcast_to(seg_mm, seg_pos.shape).reshape(rows, -1)
+    avalid = seg_valid.reshape(rows, -1) & (gs.read_idx >= 0)[:, None]
+    if not avalid.any():
+        return None, []
 
-    cand = np.zeros((rows, MAX_CAND), np.int32)
-    cvalid = np.zeros((rows, MAX_CAND), bool)
-    for r in range(rows):
-        u = np.unique(anchors[r][avalid[r]])
-        u = u[:MAX_CAND]
-        cand[r, : len(u)] = u
-        cvalid[r, : len(u)] = True
+    # unique anchors per row, best segment quality first: sort lanes by
+    # (anchor, mm) and keep the first of each anchor run (min mm), then
+    # re-rank survivors by (mm, anchor) and take the MAX_CAND best —
+    # repetitive reads keep their best-supported anchors instead of the
+    # lowest genome coordinates. All composite-int64 sorts, no row loop.
+    W = anchors.shape[1]
+    a64 = anchors.astype(np.int64) + (1 << 31)
+    m64 = np.clip(amm.astype(np.int64), 0, 255)
+    key1 = np.where(avalid, (a64 << 16) | m64, np.int64(1) << 62)
+    order1 = np.argsort(key1, axis=1, kind="stable")
+    a_s = np.take_along_axis(anchors, order1, axis=1)
+    m_s = np.take_along_axis(amm, order1, axis=1)
+    v_s = np.take_along_axis(avalid, order1, axis=1)
+    first = np.ones((rows, W), bool)
+    first[:, 1:] = a_s[:, 1:] != a_s[:, :-1]
+    v_u = v_s & first
+    key2 = np.where(
+        v_u, (np.clip(m_s.astype(np.int64), 0, 255) << 33)
+        | (a_s.astype(np.int64) + (1 << 31)), np.int64(1) << 62)
+    order2 = np.argsort(key2, axis=1, kind="stable")[:, :MAX_CAND]
+    cand = np.take_along_axis(a_s, order2, axis=1).astype(np.int32)
+    cvalid = np.take_along_axis(v_u, order2, axis=1)
     if not cvalid.any():
         return None, []
 
+    # cap the scan's diagonal window at MAX_INS: an insertion wider than
+    # the event-table slot cannot be represented (and would overflow
+    # iseq below); deletions keep the same symmetric window
     g = max(1, min(params.read_gap_length,
                    max(params.max_deletion_length,
-                       params.max_insertion_length)))
+                       min(params.max_insertion_length, MAX_INS))))
     pos, t, gap, mm, ok = (np.asarray(x) for x in gapped_scan(
         genome_codes, jnp.asarray(gs.readsg), jnp.asarray(gs.lengths),
         jnp.asarray(cand), jnp.asarray(cvalid),
         max_gap=g, max_edit=params.read_edit_dist))
 
+    glen = int(np.asarray(genome_codes).shape[0])
+    off = np.asarray(offsets) if offsets is not None else None
     ev_left, ev_right, ev_kind = [], [], []
     ev_ilen, ev_iseq = [], []
     results = []
@@ -179,19 +213,32 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params):
         if gp == 0:
             continue                    # pure-mismatch placement: the
         #                                 ungapped aligner's domain
+        rl = int(gs.lengths[r])
+        span = rl + gp                  # genome bases consumed
+        if p0 < 0 or p0 + span > glen:
+            continue                    # out-of-genome placement (the scan
+        #                                 counts OOB bases as mismatches,
+        #                                 which read_edit_dist can absorb)
         if gp > 0:
             if gp > params.max_deletion_length:
                 continue
             left, right = p0 + tt - 1, p0 + tt + gp
+            if off is not None and (np.searchsorted(off, left, "right")
+                                    != np.searchsorted(off, right, "right")):
+                continue                # cross-contig "deletion"
             kind, ilen = KIND_DELETION, 0
             iseq = np.full(MAX_INS, -1, np.int8)
         else:
-            if -gp > params.max_insertion_length:
+            if -gp > min(params.max_insertion_length, MAX_INS):
                 continue
             left, right = p0 + tt - 1, p0 + tt
             kind, ilen = KIND_INSERTION, -gp
             iseq = np.full(MAX_INS, -1, np.int8)
             iseq[:ilen] = gs.readsg[r, tt:tt + ilen]
+        if off is not None and (np.searchsorted(off, p0, "right")
+                                != np.searchsorted(off, p0 + span - 1,
+                                                   "right")):
+            continue                    # placement spans a contig boundary
         ev_left.append(left)
         ev_right.append(right)
         ev_kind.append(kind)

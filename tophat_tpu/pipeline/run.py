@@ -138,7 +138,7 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
         from tophat_tpu.ops.gapped import gapped_from_segments
 
         gapped_events, gapped = gapped_from_segments(
-            np.asarray(fm.genome), gs, seg_tables, params)
+            np.asarray(fm.genome), gs, seg_tables, params, offsets=offsets)
         if gapped:
             log(f"bowtie2 gapped: {len(gapped)} direct indel alignments")
     return MateState(batch=batch, keep=keep, aln=aln, gs=gs,
