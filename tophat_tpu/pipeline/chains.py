@@ -34,6 +34,29 @@ MAX_FUSIONS_PER_CHAIN = 1  # reference rejects >=2 fusions (:2698-2700)
 CROSS_EXT_MM = 2    # mismatch budget for fusion-break extensions
 
 
+def subset_rows(gs, seg_tables, rows_sel):
+    """Restrict a GenomeSpaceReads + its segment tables to a row subset
+    (compact view) so chain stitching pays only for the rows that need it —
+    in a default (non-fusion) run, the reads still unresolved after
+    contiguous + single-event candidates."""
+    from tophat_tpu.pipeline.segment import GenomeSpaceReads
+
+    rows_sel = np.asarray(rows_sel, np.int64)
+    n = len(rows_sel)
+    npad = (1 << max(2, int(n - 1).bit_length())) - n  # pow2: stable jit
+    #                                                    shapes across chunks
+    pad_rows = np.repeat(rows_sel[:1], npad)
+    rows_p = np.concatenate([rows_sel, pad_rows])
+    read_idx = gs.read_idx[rows_p].copy()
+    read_idx[n:] = -1                       # padding rows are skipped
+    sub = GenomeSpaceReads(
+        readsg=gs.readsg[rows_p], lengths=gs.lengths[rows_p],
+        cuts=gs.cuts[rows_p], nseg=gs.nseg[rows_p],
+        read_idx=read_idx, strand=gs.strand[rows_p])
+    sub_tables = tuple(np.asarray(a)[rows_p] for a in seg_tables)
+    return sub, sub_tables
+
+
 @dataclasses.dataclass
 class ChainCandidate:
     read: int

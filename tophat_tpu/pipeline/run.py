@@ -272,6 +272,36 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
                                  genome_codes=np.asarray(fm.genome),
                                  chain_cands=chain_cands, paired=paired)
 
+    # default-mode multi-event chains: a read crossing >= 2 events (two
+    # introns, intron + indel, ...) has no contiguous or single-event
+    # placement, so it is still unresolved here. Stitch chains for exactly
+    # those reads' genome-space rows (the reference's dfs_seg_hits /
+    # merge_chain join runs for every read by default,
+    # long_spanning_reads.cpp:2222, :805 — resolved reads would only get
+    # chains that lose selection, so restricting to unresolved rows changes
+    # nothing in the output while keeping the stage off the hot path).
+    if (not params.fusion_search and m.gs.rows and len(events["left"])
+            and m.seg_tables is not None):
+        from tophat_tpu.pipeline.chains import chain_stitch, subset_rows
+        from tophat_tpu.pipeline.report import Candidate
+
+        unresolved = ~np.isin(m.gs.read_idx,
+                              [r for r, cl in m.cands.items() if cl])
+        rows_sel = np.nonzero(unresolved & (m.gs.read_idx >= 0)
+                              & (m.gs.nseg >= 2))[0]
+        if len(rows_sel):
+            sub_gs, sub_tables = subset_rows(m.gs, m.seg_tables, rows_sel)
+            nchain = 0
+            for cc in chain_stitch(fm, sub_gs, sub_tables, events, params):
+                m.cands.setdefault(cc.read, []).append(Candidate(
+                    read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,
+                    kind=-2, ev=-1, t=0, chain_ops=tuple(cc.ops),
+                    chain_events=tuple(cc.events)))
+                nchain += 1
+            if nchain:
+                log(f"default chain stitch: {nchain} multi-event chains "
+                    f"over {len(rows_sel)} unresolved rows")
+
     # bowtie2-mode direct gapped candidates (bypass the v1.1.4 segment-path
     # indel admission — these come straight from the initial aligner)
     if m.gapped:
