@@ -330,9 +330,12 @@ def main(argv=None):
         else:
             raise SystemExit(f"Error: transcriptome files at {tprefix!r} "
                              "are missing/invalid and no -G/--GTF given")
+    trans = None
     if gtf_path:
         from tophat_tpu.io.gtf import gtf_junctions, parse_gtf
         from tophat_tpu.pipeline.juncs import merge_events
+        from tophat_tpu.pipeline.transcriptome import \
+            build_transcriptome_index
 
         if transcripts is None:
             transcripts = parse_gtf(gtf_path)
@@ -340,6 +343,12 @@ def main(argv=None):
         logger.log(f"GTF: {len(transcripts)} transcripts, "
                    f"{len(gtf_ev['left'])} known junctions")
         known = merge_events(known, gtf_ev) if known is not None else gtf_ev
+        # _reads_vs_T: transcriptome FM index (persisted beside the
+        # --transcriptome-index data files when given)
+        trans = build_transcriptome_index(
+            genome, transcripts,
+            prefix=(tprefix if args.transcriptome_index else None),
+            log=logger.log)
 
     if args.reads1 is None:
         # transcriptome build-only invocation (reference:
@@ -360,7 +369,7 @@ def main(argv=None):
         batch2 = load_reads(args.reads2.split(","), params.quals_scale)
         run_pipeline_paired(genome, batch, batch2, params, out_dir,
                             known_events=known, gtf_accept=gtf_accept,
-                            log=logger.log)
+                            trans=trans, log=logger.log)
     else:
         from tophat_tpu.pipeline.run import (iter_read_batches,
                                              run_pipeline_streaming)
@@ -373,14 +382,14 @@ def main(argv=None):
         second = next(batches, None)
         if second is None:
             run_pipeline(genome, first, params, out_dir, known_events=known,
-                         gtf_accept=gtf_accept, log=logger.log)
+                         gtf_accept=gtf_accept, trans=trans, log=logger.log)
         else:
             import itertools
 
             run_pipeline_streaming(
                 genome, itertools.chain([first, second], batches), params,
                 out_dir, known_events=known, gtf_accept=gtf_accept,
-                log=logger.log)
+                trans=trans, log=logger.log)
     logger.stage("alldone")
     return 0
 

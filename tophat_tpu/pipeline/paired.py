@@ -106,12 +106,12 @@ def _grade_key():
 
 def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                         fm=None, known_events=None, gtf_accept=None,
-                        log=print):
+                        trans=None, log=print):
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     mates, events, stats, accepted, fm = pipeline_core(
         genome, [batch1, batch2], params, fm=fm, known_events=known_events,
-        gtf_accept=gtf_accept, log=log)
+        gtf_accept=gtf_accept, trans=trans, log=log)
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
         f.write("left reads:\n" + mates[0].prep_stats.info_text())
         f.write("right reads:\n" + mates[1].prep_stats.info_text())

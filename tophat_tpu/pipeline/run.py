@@ -79,9 +79,11 @@ class MateState:
     cands: Optional[Dict[int, list]] = None
     gapped: list = None     # bowtie2-mode direct gapped results
     gapped_events: Optional[dict] = None
+    trans_hits: Optional[dict] = None  # _reads_vs_T rebased hits
 
 
-def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
+def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log,
+              genome=None, trans=None) -> MateState:
     from tophat_tpu.ops.stitch import stitch_contiguous
     from tophat_tpu.pipeline.segment import map_segments
     import jax.numpy as jnp
@@ -90,6 +92,21 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     reads_f = batch.codes
     reads_r = revcomp_rows(batch.codes, batch.lengths)
     lengths = batch.lengths.astype(np.int32)
+
+    # transcriptome mapping first (_reads_vs_T): reads placed on annotated
+    # transcripts skip the genome/segment path entirely, like the reference
+    # feeding only m2g_unmapped into _reads_vs_G (tophat.py:3326, 3538)
+    trans_hits = None
+    has_t = np.zeros(batch.size, bool)
+    if trans is not None and genome is not None and trans.n:
+        from tophat_tpu.pipeline.transcriptome import map_reads_transcriptome
+
+        trans_hits = map_reads_transcriptome(trans, genome, reads_f,
+                                             reads_r, lengths, params)
+        for r in trans_hits:
+            has_t[r] = True
+        log(f"transcriptome map: {int(has_t.sum())} reads placed on "
+            f"annotated transcripts")
 
     from tophat_tpu.ops.align import kmer_fast_ok
 
@@ -115,7 +132,7 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     aln = Alignments(pos=np.asarray(aln.pos), strand=np.asarray(aln.strand),
                      mm=np.asarray(aln.mm), valid=valid, n_hits=n_hits,
                      truncated=np.asarray(aln.truncated))
-    ium = keep & (n_hits == 0)
+    ium = keep & (n_hits == 0) & ~has_t
     log(f"genome map: {int((n_hits > 0).sum())} mapped, {int(ium.sum())} IUM")
     gs = build_genome_space(reads_f, reads_r, lengths,
                             params.segment_length, row_mask=ium,
@@ -144,13 +161,13 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log) -> MateState:
     return MateState(batch=batch, keep=keep, aln=aln, gs=gs,
                      prep_stats=prep_stats, seg_tables=seg_tables,
                      stitched=stitched, gapped=gapped,
-                     gapped_events=gapped_events)
+                     gapped_events=gapped_events, trans_hits=trans_hits)
 
 
 def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
                   fm: Optional[FMIndex] = None,
                   known_events: Optional[Dict[str, np.ndarray]] = None,
-                  gtf_accept=None, log=print):
+                  gtf_accept=None, trans=None, log=print):
     """Run prep/map/discover/realign/filter for 1 (single) or 2 (paired)
     read batches. Returns (mates, events, stats, accepted, fm)."""
     if fm is None:
@@ -158,7 +175,8 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
         fm = build_fm_index(genome)
     offsets = genome.offsets.astype(np.int32)
 
-    mates = [_map_mate(fm, offsets, b, params, log) for b in batches]
+    mates = [_map_mate(fm, offsets, b, params, log, genome=genome,
+                       trans=trans) for b in batches]
 
     # joint discovery over every mate's IUM reads
     tables = [discover_events(fm, offsets, m.gs, params,
@@ -272,6 +290,17 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
                                  genome_codes=np.asarray(fm.genome),
                                  chain_cands=chain_cands, paired=paired)
 
+    # transcriptome-mapped reads report ONLY their rebased transcript hits
+    # (the reference never genome-maps them: only m2g_unmapped feeds
+    # _reads_vs_G, tophat.py:3326)
+    if m.trans_hits:
+        from tophat_tpu.pipeline.transcriptome import \
+            transcriptome_candidates
+
+        for r, lst in transcriptome_candidates(m.trans_hits, events,
+                                               params).items():
+            m.cands[r] = lst
+
     # default-mode multi-event chains: a read crossing >= 2 events (two
     # introns, intron + indel, ...) has no contiguous or single-event
     # placement, so it is still unresolved here. Stitch chains for exactly
@@ -367,14 +396,14 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
 def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
                  out_dir: str, fm: Optional[FMIndex] = None,
                  known_events: Optional[Dict[str, np.ndarray]] = None,
-                 gtf_accept=None, log=print):
+                 gtf_accept=None, trans=None, log=print):
     from tophat_tpu.pipeline.report import write_outputs
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     mates, events, stats, accepted, fm = pipeline_core(
         genome, [batch], params, fm=fm, known_events=known_events,
-        gtf_accept=gtf_accept, log=log)
+        gtf_accept=gtf_accept, trans=trans, log=log)
     m = mates[0]
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
         f.write(m.prep_stats.info_text())
@@ -397,7 +426,8 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
 
 def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
                            out_dir: str, fm: Optional[FMIndex] = None,
-                           known_events=None, gtf_accept=None, log=print):
+                           known_events=None, gtf_accept=None, trans=None,
+                           log=print):
     """Chunked single-end pipeline for read sets larger than one device
     batch: per-chunk map + discovery, a global event union, per-chunk
     realignment, global junction filtering, and k-way-merged output
@@ -415,7 +445,8 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
     chunks: List[MateState] = []
     tables = []
     for bi, batch in enumerate(batch_iter):
-        m = _map_mate(fm, offsets, batch, params, log)
+        m = _map_mate(fm, offsets, batch, params, log, genome=genome,
+                      trans=trans)
         tables.append(discover_events(fm, offsets, m.gs, params,
                                       seg_tables=m.seg_tables, log=None))
         if params.coverage_search and m.seg_tables is not None:
