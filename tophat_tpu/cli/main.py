@@ -135,6 +135,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=16384,
                    help="reads per device batch (larger inputs stream "
                         "through the chunked pipeline)")
+    p.add_argument("--tt-index", default=None,
+                   help="path (or prefix) for the genome FM index: loaded "
+                        "if present, else built and saved — the durable "
+                        "index artifact role of bowtie-build "
+                        "(reference: tophat.py:2600)")
+    p.add_argument("--max-index-bases", type=int, default=None,
+                   help="per-index base cap; genomes larger than this "
+                        "split into contig groups with one FM index each "
+                        "(default: the int32-safe ~2.0 Gbp limit)")
     return p
 
 
@@ -295,6 +304,50 @@ def main(argv=None):
     auto.auto_activate(log=logger.log)
 
     genome = read_fasta(resolve_genome_path(args.index))
+
+    # whole-genome scale: beyond the int32-safe cap the genome partitions
+    # into contig groups, one FM index per group (index/grouped.py); the
+    # pipeline merges at int64 global coordinates (pipeline/grouped.py)
+    from tophat_tpu.index.grouped import MAX_GROUP_BASES
+
+    max_index_bases = args.max_index_bases or MAX_GROUP_BASES
+    gfm = None
+    fm = None
+    if genome.n > max_index_bases:
+        from tophat_tpu.index.grouped import build_grouped_fm
+
+        cache_prefix = args.tt_index
+        if cache_prefix is None:
+            cand = resolve_genome_path(args.index)
+            cache_prefix = cand if os.access(os.path.dirname(cand) or ".",
+                                             os.W_OK) else None
+        big = genome.n > (1 << 28)
+        gfm = build_grouped_fm(genome, max_bases=max_index_bases,
+                               kmer_k=13 if big else 0,
+                               sa_rate=4 if big else 0,
+                               cache_prefix=cache_prefix, log=logger.log)
+        logger.log(f"genome partitioned into {gfm.n_groups} contig groups")
+    elif args.tt_index:
+        from tophat_tpu.index.fm import FMIndex, build_fm_index
+
+        path = args.tt_index if args.tt_index.endswith(".npz") \
+            else args.tt_index + ".tt.npz"
+        if os.path.exists(path):
+            fm = FMIndex.load(path)
+            if fm.n != genome.n:
+                raise SystemExit(f"Error: {path} was built for a different "
+                                 "genome")
+            logger.log(f"genome FM index: reusing {path}")
+        else:
+            big = genome.n > (1 << 28)
+            fm = build_fm_index(genome, kmer_k=13 if big else 0,
+                                sa_rate=4 if big else 0)
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            fm.save(path)
+            logger.log(f"genome FM index: saved {path}")
+
     known = load_known_events(genome, args.insertions, args.deletions,
                               args.raw_juncs)
     gtf_accept = None
@@ -363,11 +416,23 @@ def main(argv=None):
 
     files1 = args.reads1.split(",")
     logger.stage("prep_reads")
+    if gfm is not None:
+        if args.reads2:
+            raise SystemExit("Error: paired-end input with a contig-group "
+                             "partitioned genome is not supported yet")
+        from tophat_tpu.pipeline.grouped import run_pipeline_grouped
+
+        batch = load_reads(files1, params.quals_scale)
+        run_pipeline_grouped(genome, batch, params, out_dir, gfm,
+                             known_events=known, gtf_accept=gtf_accept,
+                             trans=trans, log=logger.log)
+        logger.stage("alldone")
+        return 0
     if args.reads2:
         from tophat_tpu.pipeline.paired import run_pipeline_paired
         batch = load_reads(files1, params.quals_scale)
         batch2 = load_reads(args.reads2.split(","), params.quals_scale)
-        run_pipeline_paired(genome, batch, batch2, params, out_dir,
+        run_pipeline_paired(genome, batch, batch2, params, out_dir, fm=fm,
                             known_events=known, gtf_accept=gtf_accept,
                             trans=trans, log=logger.log)
     else:
@@ -381,14 +446,15 @@ def main(argv=None):
             raise SystemExit("Error: no reads in input")
         second = next(batches, None)
         if second is None:
-            run_pipeline(genome, first, params, out_dir, known_events=known,
-                         gtf_accept=gtf_accept, trans=trans, log=logger.log)
+            run_pipeline(genome, first, params, out_dir, fm=fm,
+                         known_events=known, gtf_accept=gtf_accept,
+                         trans=trans, log=logger.log)
         else:
             import itertools
 
             run_pipeline_streaming(
                 genome, itertools.chain([first, second], batches), params,
-                out_dir, known_events=known, gtf_accept=gtf_accept,
+                out_dir, fm=fm, known_events=known, gtf_accept=gtf_accept,
                 trans=trans, log=logger.log)
     logger.stage("alldone")
     return 0

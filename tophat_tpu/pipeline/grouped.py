@@ -1,0 +1,290 @@
+"""Whole-genome pipeline over contig-group FM indexes (int64-safe merge).
+
+Device stages (alignment, segment mapping, discovery, realignment, chains)
+run per contig group in group-LOCAL int32 coordinates; candidates and event
+tables rebase to int64 GLOBAL coordinates on the host and merge for the
+global phases (junction filtering, best-alignment selection, output). This
+is how a 3.1 Gbp human genome — the reference's primary operating envelope
+(/root/reference/doc/html/manual.shtml:74, src/tophat.py:1282) — runs on
+int32 device arithmetic.
+
+Semantics preserved vs the single-index pipeline:
+  - IUM is GLOBAL: a read with a full-length hit in any group skips the
+    spliced path everywhere (like bowtie searching one whole-genome index).
+  - -M prefilter counts hits across all groups.
+  - default-mode chains run only for globally-unresolved reads.
+Known limitation: fusion search sees only intra-group pairs; cross-group
+fusion discovery needs the mesh path (parallel/shard_fm.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tophat_tpu.index.fasta import Genome
+from tophat_tpu.index.grouped import GroupedFM
+from tophat_tpu.ops.align import Alignments
+from tophat_tpu.pipeline.params import Params
+from tophat_tpu.pipeline.prep import prep_filter
+from tophat_tpu.pipeline.run import (MateState, _spliced_mate,
+                                     candidates_for_mate, default_chains,
+                                     merge_stats, revcomp_rows)
+
+
+def _slice_known_events(known, base: int, length: int):
+    """Global known-event table -> group-local slice (left/right rebased).
+    Events spanning outside the group are dropped (junctions/deletions
+    cannot cross contig—and hence group—boundaries)."""
+    if known is None or not len(known["left"]):
+        return None
+    left = known["left"].astype(np.int64)
+    right = known["right"].astype(np.int64)
+    sel = (left >= base) & (right < base + length)
+    if not sel.any():
+        return None
+    out = {k: v[sel].copy() for k, v in known.items()}
+    out["left"] = (out["left"].astype(np.int64) - base).astype(np.int32)
+    out["right"] = (out["right"].astype(np.int64) - base).astype(np.int32)
+    return out
+
+
+def _rebase_candidates(cands: Dict[int, list], base: int,
+                       eoff: int) -> None:
+    """Shift one group's candidates to global coordinates / global event
+    indices, in place."""
+    for clist in cands.values():
+        for c in clist:
+            c.pos += base
+            if c.ev >= 0:
+                c.ev += eoff
+            if c.fpos2 >= 0:
+                c.fpos2 += base
+            if c.chain_events:
+                c.chain_events = tuple(e + eoff for e in c.chain_events)
+            if c.chain_ops:
+                c.chain_ops = tuple(
+                    ("EV", op[1] + eoff, op[2], op[3]) if op[0] == "EV"
+                    else (("FUS", op[1] + base, op[2]) if op[0] == "FUS"
+                          else op)
+                    for op in c.chain_ops)
+
+
+def _merge_event_tables(group_events: List[dict], bases) -> dict:
+    """Concatenate per-group event tables at global int64 coordinates."""
+    from tophat_tpu.pipeline.juncs import empty_events
+
+    out = {}
+    for k in empty_events():
+        parts = []
+        for ev, base in zip(group_events, bases):
+            v = ev[k]
+            if k in ("left", "right"):
+                v = v.astype(np.int64) + int(base)
+            parts.append(v)
+        out[k] = (np.concatenate(parts) if parts
+                  else empty_events()[k])
+    return out
+
+
+def pipeline_core_grouped(genome: Genome, batches, params: Params,
+                          gfm: GroupedFM, known_events=None,
+                          gtf_accept=None, trans=None, log=print):
+    """Grouped analog of pipeline_core: returns (mates, events, stats,
+    accepted, gfm) where each MateState carries the MERGED global-coordinate
+    candidate dict and `events` is the merged int64 event table."""
+    from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
+    from tophat_tpu.pipeline.juncs import discover_events, merge_events
+    from tophat_tpu.pipeline.report import (accumulate_event_stats,
+                                            filter_junctions)
+
+    G = gfm.n_groups
+    mates: List[MateState] = []
+    per_group: List[List[MateState]] = []   # [mate][group]
+
+    for batch in batches:
+        keep, prep_stats = prep_filter(batch)
+        reads_f = batch.codes
+        reads_r = revcomp_rows(batch.codes, batch.lengths)
+        lengths = batch.lengths.astype(np.int32)
+
+        trans_hits = None
+        has_t = np.zeros(batch.size, bool)
+        if trans is not None and trans.n:
+            from tophat_tpu.pipeline.transcriptome import \
+                map_reads_transcriptome
+
+            trans_hits = map_reads_transcriptome(trans, genome, reads_f,
+                                                 reads_r, lengths, params)
+            for r in trans_hits:
+                has_t[r] = True
+            log(f"transcriptome map: {int(has_t.sum())} reads placed")
+
+        min_len = int(lengths.min()) if len(lengths) else 0
+        max_len = int(lengths.max()) if len(lengths) else 0
+        alns = []
+        total = np.zeros(batch.size, np.int64)
+        for g in range(G):
+            fm = gfm.fms[g]
+            al = align_reads_adaptive(
+                fm, reads_f, reads_r, lengths,
+                gfm.sub_genomes[g].offsets.astype(np.int32),
+                max_mismatches=params.read_mismatches,
+                max_alignments=params.max_alignments,
+                kmer_fast=kmer_fast_ok(fm, min_len,
+                                       params.read_mismatches),
+                narrow_hits=min(8, params.hits_per_seed),
+                wide_hits=params.hits_per_seed,
+                uniform_len=min_len if min_len == max_len else 0)
+            alns.append(al)
+            total += np.asarray(al.n_hits)
+        if params.prefilter_multihits:
+            keep = keep & ~(total > params.max_multihits)
+        ium = keep & (total == 0) & ~has_t
+        log(f"genome map ({G} groups): {int(((total > 0) & keep).sum())} "
+            f"mapped, {int(ium.sum())} IUM")
+
+        gmates = []
+        for g in range(G):
+            al = alns[g]
+            valid = np.asarray(al.valid) & keep[:, None]
+            m = MateState(
+                batch=batch, keep=keep,
+                aln=Alignments(pos=np.asarray(al.pos),
+                               strand=np.asarray(al.strand),
+                               mm=np.asarray(al.mm), valid=valid,
+                               n_hits=np.where(keep, np.asarray(al.n_hits),
+                                               0),
+                               truncated=np.asarray(al.truncated)),
+                gs=None, prep_stats=prep_stats,
+                trans_hits=trans_hits if g == 0 else None)
+            _spliced_mate(gfm.fms[g],
+                          gfm.sub_genomes[g].offsets.astype(np.int32),
+                          m, params, log, ium, reads_f, reads_r, lengths)
+            gmates.append(m)
+        per_group.append(gmates)
+
+        mate = MateState(batch=batch, keep=keep, aln=gmates[0].aln,
+                         gs=gmates[0].gs, prep_stats=prep_stats,
+                         trans_hits=trans_hits)
+        mates.append(mate)
+
+    # joint discovery: per group, the event tables of ALL mates merge (the
+    # single-index path merges discovery across mates before realignment)
+    group_events: List[dict] = []
+    for g in range(G):
+        base = int(gfm.bases[g])
+        length = gfm.sub_genomes[g].n
+        fm = gfm.fms[g]
+        offsets = gfm.sub_genomes[g].offsets.astype(np.int32)
+        tables = []
+        for mi, gmates in enumerate(per_group):
+            m = gmates[g]
+            tables.append(discover_events(fm, offsets, m.gs, params,
+                                          seg_tables=m.seg_tables,
+                                          log=None, read_side=mi))
+            if params.coverage_search and m.seg_tables is not None:
+                from tophat_tpu.pipeline.coverage import \
+                    coverage_search_events
+
+                tables.append(coverage_search_events(
+                    fm, gfm.sub_genomes[g], m.gs, m.seg_tables, params))
+            if m.gapped_events is not None:
+                tables.append(m.gapped_events)
+        sliced = _slice_known_events(known_events, base, length)
+        if sliced is not None:
+            tables.append(sliced)
+        group_events.append(merge_events(*tables))
+
+    group_eoff = np.concatenate(
+        [[0], np.cumsum([len(e["left"]) for e in group_events])])
+    events = _merge_event_tables(group_events,
+                                 [int(b) for b in gfm.bases])
+
+    # candidates per group (local coords), chains deferred, then rebase +
+    # merge to global coordinates / global event indices
+    for mi, gmates in enumerate(per_group):
+        merged: Dict[int, list] = {}
+        for g, m in enumerate(gmates):
+            m.trans_hits = None  # handled globally below
+            candidates_for_mate(gfm.fms[g], m, group_events[g], params,
+                                log, paired=len(per_group) > 1,
+                                chain_default=False)
+            _rebase_candidates(m.cands, int(gfm.bases[g]),
+                               int(group_eoff[g]))
+            for r, lst in m.cands.items():
+                merged.setdefault(r, []).extend(lst)
+        mates[mi].cands = merged
+
+    # transcriptome-mapped reads: global-coordinate overwrite
+    for mate in mates:
+        if mate.trans_hits:
+            from tophat_tpu.pipeline.transcriptome import \
+                transcriptome_candidates
+
+            for r, lst in transcriptome_candidates(mate.trans_hits, events,
+                                                   params).items():
+                mate.cands[r] = lst
+
+    # default chains with the GLOBAL resolved set (per group, local events)
+    if not params.fusion_search:
+        for mi, gmates in enumerate(per_group):
+            resolved = {r for r, cl in mates[mi].cands.items() if cl}
+            for g, m in enumerate(gmates):
+                n0 = {r: len(cl) for r, cl in m.cands.items()}
+                default_chains(gfm.fms[g], m, group_events[g], params,
+                               log, resolved=resolved)
+                # rebase + merge only the newly added chain candidates
+                new: Dict[int, list] = {}
+                for r, cl in m.cands.items():
+                    fresh = cl[n0.get(r, 0):]
+                    if fresh:
+                        new[r] = fresh
+                _rebase_candidates(new, int(gfm.bases[g]),
+                                   int(group_eoff[g]))
+                for r, lst in new.items():
+                    mates[mi].cands.setdefault(r, []).extend(lst)
+
+    # pass 1: stats + acceptance on the merged global structures
+    stats: Dict[int, object] = {}
+    for mate in mates:
+        merge_stats(stats, accumulate_event_stats(
+            mate.cands, events, mate.batch.lengths.astype(np.int32)))
+    filter_junctions(events, stats, params, gtf_accept=gtf_accept)
+    accepted = {e for e, st in stats.items() if st.accepted}
+    return mates, events, stats, accepted, gfm
+
+
+def run_pipeline_grouped(genome: Genome, batch, params: Params,
+                         out_dir: str, gfm: GroupedFM, known_events=None,
+                         gtf_accept=None, trans=None, log=print):
+    """Single-end grouped run: the whole-genome analog of run_pipeline."""
+    from tophat_tpu.pipeline.report import select_best, write_outputs
+
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    mates, events, stats, accepted, gfm = pipeline_core_grouped(
+        genome, [batch], params, gfm, known_events=known_events,
+        gtf_accept=gtf_accept, trans=trans, log=log)
+    m = mates[0]
+    with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
+        f.write(m.prep_stats.info_text())
+
+    rng = np.random.default_rng(1)
+    selected = {}
+    for r, clist in m.cands.items():
+        usable = [c for c in clist
+                  if (all(e in accepted for e in c.chain_events)
+                      if c.kind == -2 else (c.ev < 0 or c.ev in accepted))]
+        selected[r] = select_best(usable, params.max_multihits, rng,
+                                  params.report_secondary)
+
+    records = write_outputs(out_dir, genome, params, batch, selected,
+                            events)
+    log(f"grouped done in {time.time() - t0:.1f}s; {len(records)} "
+        f"alignments reported")
+    return dict(mates=mates, events=events, stats=stats, selected=selected,
+                gfm=gfm)

@@ -82,12 +82,12 @@ class MateState:
     trans_hits: Optional[dict] = None  # _reads_vs_T rebased hits
 
 
-def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log,
-              genome=None, trans=None) -> MateState:
-    from tophat_tpu.ops.stitch import stitch_contiguous
-    from tophat_tpu.pipeline.segment import map_segments
-    import jax.numpy as jnp
-
+def _align_mate(fm, offsets, batch: ReadBatch, params: Params, log,
+                genome=None, trans=None):
+    """Prep + transcriptome mapping + full-read genome alignment for one
+    mate. Returns (MateState without spliced stages, ium mask,
+    reads_f, reads_r, lengths) — the grouped driver aligns against several
+    sub-indexes before deciding the global IUM set."""
     keep, prep_stats = prep_filter(batch)
     reads_f = batch.codes
     reads_r = revcomp_rows(batch.codes, batch.lengths)
@@ -108,11 +108,9 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log,
         log(f"transcriptome map: {int(has_t.sum())} reads placed on "
             f"annotated transcripts")
 
-    from tophat_tpu.ops.align import kmer_fast_ok
+    from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
 
     min_len = int(lengths.min()) if len(lengths) else 0
-    from tophat_tpu.ops.align import align_reads_adaptive
-
     max_len = int(lengths.max()) if len(lengths) else 0
     aln = align_reads_adaptive(
         fm, reads_f, reads_r, lengths, offsets,
@@ -134,34 +132,52 @@ def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log,
                      truncated=np.asarray(aln.truncated))
     ium = keep & (n_hits == 0) & ~has_t
     log(f"genome map: {int((n_hits > 0).sum())} mapped, {int(ium.sum())} IUM")
+    m = MateState(batch=batch, keep=keep, aln=aln, gs=None,
+                  prep_stats=prep_stats, trans_hits=trans_hits)
+    return m, ium, reads_f, reads_r, lengths
+
+
+def _spliced_mate(fm, offsets, m: MateState, params: Params, log,
+                  ium, reads_f, reads_r, lengths) -> None:
+    """Segment split + mapping + contiguous stitch (+ bowtie2-mode gapped)
+    for the IUM reads; fills gs/seg_tables/stitched/gapped on `m`."""
+    import jax.numpy as jnp
+
+    from tophat_tpu.ops.stitch import stitch_contiguous
+    from tophat_tpu.pipeline.segment import map_segments
+
     gs = build_genome_space(reads_f, reads_r, lengths,
                             params.segment_length, row_mask=ium,
                             pad_rows_pow2=True)
-    seg_tables = None
-    stitched = None
+    m.gs = gs
     if gs.rows:
-        seg_tables = map_segments(
+        m.seg_tables = map_segments(
             fm, offsets, gs, segment_mismatches=params.segment_mismatches,
             hits_per_seed=params.hits_per_seed, max_hits=16)
         st = stitch_contiguous(
-            jnp.asarray(seg_tables[0]), jnp.asarray(seg_tables[1]),
-            jnp.asarray(seg_tables[2]), jnp.asarray(gs.cuts),
+            jnp.asarray(m.seg_tables[0]), jnp.asarray(m.seg_tables[1]),
+            jnp.asarray(m.seg_tables[2]), jnp.asarray(gs.cuts),
             jnp.asarray(gs.nseg))
-        stitched = tuple(np.asarray(x) for x in st)
-    gapped, gapped_events = None, None
-    if params.bowtie2 and seg_tables is not None:
+        m.stitched = tuple(np.asarray(x) for x in st)
+    if params.bowtie2 and m.seg_tables is not None:
         # bowtie2-mode direct gapped alignment of the IUM reads (no
         # segment-pair discovery needed; reference tophat.py:2253-2337)
         from tophat_tpu.ops.gapped import gapped_from_segments
 
-        gapped_events, gapped = gapped_from_segments(
-            np.asarray(fm.genome), gs, seg_tables, params, offsets=offsets)
-        if gapped:
-            log(f"bowtie2 gapped: {len(gapped)} direct indel alignments")
-    return MateState(batch=batch, keep=keep, aln=aln, gs=gs,
-                     prep_stats=prep_stats, seg_tables=seg_tables,
-                     stitched=stitched, gapped=gapped,
-                     gapped_events=gapped_events, trans_hits=trans_hits)
+        m.gapped_events, m.gapped = gapped_from_segments(
+            np.asarray(fm.genome), gs, m.seg_tables, params,
+            offsets=offsets)
+        if m.gapped:
+            log(f"bowtie2 gapped: {len(m.gapped)} direct indel alignments")
+
+
+def _map_mate(fm, offsets, batch: ReadBatch, params: Params, log,
+              genome=None, trans=None) -> MateState:
+    m, ium, reads_f, reads_r, lengths = _align_mate(
+        fm, offsets, batch, params, log, genome=genome, trans=trans)
+    _spliced_mate(fm, offsets, m, params, log, ium, reads_f, reads_r,
+                  lengths)
+    return m
 
 
 def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
@@ -249,9 +265,11 @@ def merge_stats(into: Dict[int, object], other: Dict[int, object]) -> None:
 
 
 def candidates_for_mate(fm, m: MateState, events, params, log,
-                        paired=False) -> None:
+                        paired=False, chain_default=True) -> None:
     """Realign one chunk/mate against the (global) event table and build its
-    candidate lists."""
+    candidate lists. chain_default=False defers the default-mode chain
+    stitching to the caller (the grouped driver, which knows the global
+    resolved-read set)."""
     max_nseg = int(m.gs.nseg.max()) if m.gs.rows else 1
     realign_mm = params.segment_mismatches * max_nseg
     if m.gs.rows and len(events["left"]):
@@ -300,36 +318,6 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
         for r, lst in transcriptome_candidates(m.trans_hits, events,
                                                params).items():
             m.cands[r] = lst
-
-    # default-mode multi-event chains: a read crossing >= 2 events (two
-    # introns, intron + indel, ...) has no contiguous or single-event
-    # placement, so it is still unresolved here. Stitch chains for exactly
-    # those reads' genome-space rows (the reference's dfs_seg_hits /
-    # merge_chain join runs for every read by default,
-    # long_spanning_reads.cpp:2222, :805 — resolved reads would only get
-    # chains that lose selection, so restricting to unresolved rows changes
-    # nothing in the output while keeping the stage off the hot path).
-    if (not params.fusion_search and m.gs.rows and len(events["left"])
-            and m.seg_tables is not None):
-        from tophat_tpu.pipeline.chains import chain_stitch, subset_rows
-        from tophat_tpu.pipeline.report import Candidate
-
-        unresolved = ~np.isin(m.gs.read_idx,
-                              [r for r, cl in m.cands.items() if cl])
-        rows_sel = np.nonzero(unresolved & (m.gs.read_idx >= 0)
-                              & (m.gs.nseg >= 2))[0]
-        if len(rows_sel):
-            sub_gs, sub_tables = subset_rows(m.gs, m.seg_tables, rows_sel)
-            nchain = 0
-            for cc in chain_stitch(fm, sub_gs, sub_tables, events, params):
-                m.cands.setdefault(cc.read, []).append(Candidate(
-                    read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,
-                    kind=-2, ev=-1, t=0, chain_ops=tuple(cc.ops),
-                    chain_events=tuple(cc.events)))
-                nchain += 1
-            if nchain:
-                log(f"default chain stitch: {nchain} multi-event chains "
-                    f"over {len(rows_sel)} unresolved rows")
 
     # bowtie2-mode direct gapped candidates (bypass the v1.1.4 segment-path
     # indel admission — these come straight from the initial aligner)
@@ -391,6 +379,48 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
                     nfr += 1
         if nfr:
             log(f"cross-strand fusion candidates: {nfr}")
+
+    # default-mode multi-event chains for still-unresolved reads
+    if chain_default and not params.fusion_search:
+        default_chains(fm, m, events, params, log)
+
+
+def default_chains(fm, m: MateState, events, params, log,
+                   resolved=None) -> None:
+    """Multi-event chains for the default (non-fusion) mode: a read crossing
+    >= 2 events (two introns, intron + indel, ...) has no contiguous or
+    single-event placement, so it is still unresolved after
+    collect_candidates. Stitch chains for exactly those reads' genome-space
+    rows (the reference's dfs_seg_hits / merge_chain join runs for every
+    read by default, long_spanning_reads.cpp:2222, :805 — resolved reads
+    would only get chains that lose selection, so restricting to unresolved
+    rows changes nothing in the output while keeping the stage off the hot
+    path). `resolved` overrides the resolved-read set (the grouped driver
+    passes the global one)."""
+    if not (m.gs is not None and m.gs.rows and len(events["left"])
+            and m.seg_tables is not None):
+        return
+    from tophat_tpu.pipeline.chains import chain_stitch, subset_rows
+    from tophat_tpu.pipeline.report import Candidate
+
+    if resolved is None:
+        resolved = [r for r, cl in m.cands.items() if cl]
+    unresolved = ~np.isin(m.gs.read_idx, list(resolved))
+    rows_sel = np.nonzero(unresolved & (m.gs.read_idx >= 0)
+                          & (m.gs.nseg >= 2))[0]
+    if not len(rows_sel):
+        return
+    sub_gs, sub_tables = subset_rows(m.gs, m.seg_tables, rows_sel)
+    nchain = 0
+    for cc in chain_stitch(fm, sub_gs, sub_tables, events, params):
+        m.cands.setdefault(cc.read, []).append(Candidate(
+            read=cc.read, pos=cc.pos, strand=cc.strand, mm=cc.mm,
+            kind=-2, ev=-1, t=0, chain_ops=tuple(cc.ops),
+            chain_events=tuple(cc.events)))
+        nchain += 1
+    if nchain:
+        log(f"default chain stitch: {nchain} multi-event chains "
+            f"over {len(rows_sel)} unresolved rows")
 
 
 def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
