@@ -15,12 +15,20 @@ import struct
 import zlib
 from typing import BinaryIO, Iterator, List, Optional, Tuple
 
+import numpy as np
+
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 _SEQ_CODE = "=ACMGRSVTWYHKDBN"
 _SEQ_ENC = {c: i for i, c in enumerate(_SEQ_CODE)}
 _CIGAR_OPS = "MIDNSHP=X"
+
+# byte -> 4-bit code LUT (unknown bytes -> 15 = N), upper/lowercase
+_SEQ_ENC_LUT = np.full(256, 15, np.uint8)
+for _i, _c in enumerate(_SEQ_CODE):
+    _SEQ_ENC_LUT[ord(_c)] = _i
+    _SEQ_ENC_LUT[ord(_c.lower())] = _i
 
 
 # ---------------------------------------------------------------------------
@@ -135,16 +143,18 @@ def encode_record(rec: BamRecord) -> bytes:
     cig = b"".join(struct.pack("<I", (n << 4) | _CIGAR_OPS.index(op))
                    for op, n in rec.cigar)
     l_seq = 0 if rec.seq in (b"*", b"") else len(rec.seq)
-    seq4 = bytearray()
-    for i in range(0, l_seq, 2):
-        hi = _SEQ_ENC.get(chr(rec.seq[i]).upper(), 15) << 4
-        lo = (_SEQ_ENC.get(chr(rec.seq[i + 1]).upper(), 15)
-              if i + 1 < l_seq else 0)
-        seq4.append(hi | lo)
+    if l_seq:
+        a = _SEQ_ENC_LUT[np.frombuffer(rec.seq, np.uint8, count=l_seq)]
+        if l_seq % 2:
+            a = np.concatenate([a, np.zeros(1, np.uint8)])
+        seq4 = ((a[0::2] << 4) | a[1::2]).tobytes()
+    else:
+        seq4 = b""
     if rec.qual in (b"*", b"") or l_seq == 0:
         qual = b"\xff" * l_seq
     else:
-        qual = bytes(q - 33 for q in rec.qual[:l_seq])
+        qual = (np.frombuffer(rec.qual, np.uint8, count=l_seq)
+                - np.uint8(33)).tobytes()
     tags = bytearray()
     for tag, typ, val in rec.tags:
         tags += tag.encode()
@@ -160,7 +170,7 @@ def encode_record(rec: BamRecord) -> bytes:
     body = struct.pack(
         "<iiBBHHHiiii", rec.ref_id, rec.pos, len(name), rec.mapq,
         reg2bin(rec.pos, end), len(rec.cigar), rec.flag, l_seq,
-        rec.ref_id2, rec.pos2, rec.tlen) + name + cig + bytes(seq4) + qual + bytes(tags)
+        rec.ref_id2, rec.pos2, rec.tlen) + name + cig + seq4 + qual + bytes(tags)
     return struct.pack("<i", len(body)) + body
 
 

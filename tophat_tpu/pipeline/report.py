@@ -149,6 +149,37 @@ class Candidate:
                                                     KIND_INSERTION) else 0)
 
 
+def _junction_checks_vec(genome, gs, rows, rls, ts, lefts, rights,
+                         seg_budget, min_anchor):
+    """Vectorized _candidate_checks for KIND_JUNCTION candidates: one
+    (N, L) gather/compare instead of a per-candidate Python call. Returns
+    (ok, splice_mms) arrays of length N; semantics identical to the scalar
+    path (out-of-genome bases count as mismatches, per-segment budget over
+    the spliced placement, near-splice window sum)."""
+    n = genome.shape[0]
+    N = len(rows)
+    L = gs.readsg.shape[1]
+    u = np.arange(L, dtype=np.int64)[None, :]
+    t = ts[:, None]
+    gpos = np.where(u < t, lefts[:, None] - t + 1 + u,
+                    rights[:, None] + (u - t))
+    inb = (gpos >= 0) & (gpos < n)
+    g = genome[np.clip(gpos, 0, n - 1)]
+    r = gs.readsg[rows]
+    bad = np.where(u < rls[:, None],
+                   (g != r) | (g >= 4) | (r >= 4) | ~inb, False)
+    cum = np.zeros((N, L + 1), np.int32)
+    np.cumsum(bad, axis=1, out=cum[:, 1:])
+    ar = np.arange(N)
+    lo = np.maximum(ts - min_anchor, 0)
+    hi = np.minimum(ts + min_anchor, rls)
+    splice_mms = cum[ar, hi] - cum[ar, lo]
+    cuts = np.minimum(gs.cuts[rows].astype(np.int64), rls[:, None])
+    segsum = cum[ar[:, None], cuts[:, 1:]] - cum[ar[:, None], cuts[:, :-1]]
+    ok = (segsum <= seg_budget).all(axis=1)
+    return ok, splice_mms
+
+
 def _candidate_checks(genome, row_codes, cuts_row, rl, seg_budget,
                       min_anchor, kind, left, right, q, seq, t,
                       segment_length=None):
@@ -354,7 +385,63 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
         ev_right = events["right"]
         ev_kind = events["kind"]
         ev_ilen = events["ins_len"]
-        for row, e in zip(*np.nonzero(spl_ok)):
+
+        rows_all, es_all = np.nonzero(spl_ok)
+        is_junc = (ev_kind[es_all] == KIND_JUNCTION) \
+            if len(rows_all) else np.zeros(0, bool)
+        # ---- junction candidates: fully vectorized gates + checks ----
+        jsel = is_junc & (gs.read_idx[rows_all] >= 0)
+        if genome_codes is not None and jsel.any():
+            jr = rows_all[jsel]
+            je = es_all[jsel]
+            tj = spl_t[jr, je].astype(np.int64)
+            lj = ev_left[je].astype(np.int64)
+            rj = ev_right[je].astype(np.int64)
+            gapj = rj - lj - 1
+            rlj = gs.lengths[jr].astype(np.int64)
+            strj = gs.strand[jr].astype(np.int64)
+            ga_l, ga_r = tj, rlj - tj
+            five = np.where(strj == 0, ga_l, ga_r)
+            three = np.where(strj == 0, ga_r, ga_l)
+            nsegj = gs.nseg[jr]
+            pair_onlyj = (three < three_min) & (three >= 3) & paired \
+                & (nsegj <= 2)
+            min_i = min(params.min_intron_length, params.min_segment_intron)
+            pos0j = lj - tj + 1
+            glen = genome_codes.shape[0]
+            keep = ((gapj > 0) & (five >= five_min)
+                    & ((three >= three_min) | pair_onlyj)
+                    & (gapj >= min_i) & (gapj <= params.max_intron_length)
+                    & (pos0j >= 0) & (pos0j + rlj + gapj <= glen))
+            if keep.any():
+                okv, smv = _junction_checks_vec(
+                    genome_codes, gs, jr[keep], rlj[keep], tj[keep],
+                    lj[keep], rj[keep], params.segment_mismatches,
+                    params.min_anchor_len)
+                jr_k = jr[keep]
+                je_k = je[keep]
+                tj_k = tj[keep]
+                po_k = pair_onlyj[keep]
+                mm_k = spl_mm[jr_k, je_k]
+                gap_k = gapj[keep]
+                pos_k = pos0j[keep]
+                str_k = strj[keep]
+                ridx_k = gs.read_idx[jr_k]
+                for i in np.nonzero(okv)[0]:
+                    read = int(ridx_k[i])
+                    cands.setdefault(read, []).append(Candidate(
+                        read=read, pos=int(pos_k[i]), strand=int(str_k[i]),
+                        mm=int(mm_k[i]), kind=KIND_JUNCTION,
+                        ev=int(je_k[i]), t=int(tj_k[i]), gap=int(gap_k[i]),
+                        splice_mms=int(smv[i]),
+                        pair_only=bool(po_k[i])))
+            rows_iter = rows_all[~jsel]
+            es_iter = es_all[~jsel]
+        else:
+            rows_iter = rows_all
+            es_iter = es_all
+
+        for row, e in zip(rows_iter, es_iter):
             read = int(gs.read_idx[row])
             if read < 0:  # pow2 padding row
                 continue
