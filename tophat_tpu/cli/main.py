@@ -429,12 +429,17 @@ def main(argv=None):
         logger.stage("alldone")
         return 0
     if args.reads2:
-        from tophat_tpu.pipeline.paired import run_pipeline_paired
-        batch = load_reads(files1, params.quals_scale)
-        batch2 = load_reads(args.reads2.split(","), params.quals_scale)
-        run_pipeline_paired(genome, batch, batch2, params, out_dir, fm=fm,
-                            known_events=known, gtf_accept=gtf_accept,
-                            trans=trans, log=logger.log)
+        from tophat_tpu.pipeline.paired import run_pipeline_paired_streaming
+        from tophat_tpu.pipeline.run import iter_read_batches
+
+        it1 = iter_read_batches(files1, params.quals_scale,
+                                params.batch_size)
+        it2 = iter_read_batches(args.reads2.split(","), params.quals_scale,
+                                params.batch_size)
+        run_pipeline_paired_streaming(
+            genome, zip(it1, it2), params, out_dir, fm=fm,
+            known_events=known, gtf_accept=gtf_accept, trans=trans,
+            log=logger.log)
     else:
         from tophat_tpu.pipeline.run import (iter_read_batches,
                                              run_pipeline_streaming)

@@ -107,137 +107,234 @@ def _grade_key():
 def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                         fm=None, known_events=None, gtf_accept=None,
                         trans=None, log=print):
+    """Single-chunk paired run (both mates fit one device batch)."""
+    return run_pipeline_paired_streaming(
+        genome, iter([(batch1, batch2)]), params, out_dir, fm=fm,
+        known_events=known_events, gtf_accept=gtf_accept, trans=trans,
+        log=log)
+
+
+def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
+                                  out_dir, fm=None, known_events=None,
+                                  gtf_accept=None, trans=None, log=print):
+    """Chunked paired-end pipeline: mate pairs stream through fixed-size
+    chunk pairs (same read count per mate — reads pair by line number), a
+    global event union feeds per-chunk realignment, and pair selection /
+    rescue runs chunk-locally since mates share indices within a chunk.
+    The chunk axis plays the reference's per-thread read-ID-range role
+    (SURVEY.md §2.5); one chunk reproduces the old single-batch output
+    byte-for-byte."""
+    from tophat_tpu.index.fm import build_fm_index
+    from tophat_tpu.pipeline.juncs import discover_events, merge_events
+    from tophat_tpu.pipeline.report import (accumulate_event_stats,
+                                            filter_junctions)
+    from tophat_tpu.pipeline.run import (_map_mate, candidates_for_mate,
+                                         merge_stats)
+
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    mates, events, stats, accepted, fm = pipeline_core(
-        genome, [batch1, batch2], params, fm=fm, known_events=known_events,
-        gtf_accept=gtf_accept, trans=trans, log=log)
+    if fm is None:
+        log("Building FM index...")
+        fm = build_fm_index(genome)
+    offsets = genome.offsets.astype(np.int32)
+
+    chunks = []
+    tables = []
+    from tophat_tpu.pipeline.prep import PrepStats
+
+    prep_all = [PrepStats(), PrepStats()]
+    for b1, b2 in pair_iter:
+        if b1.size != b2.size:
+            raise SystemExit("Error: mate files have different read counts")
+        ms = []
+        for side, b in enumerate((b1, b2)):
+            m = _map_mate(fm, offsets, b, params, log, genome=genome,
+                          trans=trans)
+            prep_all[side].merge(m.prep_stats)
+            tables.append(discover_events(fm, offsets, m.gs, params,
+                                          seg_tables=m.seg_tables,
+                                          log=None, read_side=side))
+            if params.coverage_search and m.seg_tables is not None:
+                from tophat_tpu.pipeline.coverage import \
+                    coverage_search_events
+
+                tables.append(coverage_search_events(fm, genome, m.gs,
+                                                     m.seg_tables, params))
+            if ((params.butterfly_search or params.microexon_search)
+                    and m.seg_tables is not None):
+                from tophat_tpu.pipeline.butterfly import (
+                    butterfly_search_events, microexon_events)
+
+                if params.butterfly_search:
+                    tables.append(butterfly_search_events(
+                        fm, genome, m.gs, m.seg_tables, params))
+                if params.microexon_search:
+                    tables.append(microexon_events(fm, genome, m.gs,
+                                                   m.seg_tables, params))
+            if m.gapped_events is not None:
+                tables.append(m.gapped_events)
+            ms.append(m)
+        chunks.append((b1, b2, ms[0], ms[1]))
+        log(f"pair chunk {len(chunks) - 1}: {b1.size} read pairs")
+    if not chunks:
+        raise SystemExit("Error: no reads in input")
+    if known_events is not None:
+        tables.append(known_events)
+    events = merge_events(*tables)
+
+    stats: Dict[int, EventStats] = {}
+    for (b1, b2, m1, m2) in chunks:
+        for m in (m1, m2):
+            candidates_for_mate(fm, m, events, params, log, paired=True)
+            merge_stats(stats, accumulate_event_stats(
+                m.cands, events, m.batch.lengths.astype(np.int32)))
+    filter_junctions(events, stats, params, gtf_accept=gtf_accept)
+    accepted = {e for e, st in stats.items() if st.accepted}
+
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
-        f.write("left reads:\n" + mates[0].prep_stats.info_text())
-        f.write("right reads:\n" + mates[1].prep_stats.info_text())
+        f.write("left reads:\n" + prep_all[0].info_text())
+        f.write("right reads:\n" + prep_all[1].info_text())
 
     rng = np.random.default_rng(1)
-    selected: List[List[List[Candidate]]] = []
-    rescue: List[Dict[int, List[Candidate]]] = []
-    for mi, m in enumerate(mates):
-        sel = {}
-        res = {}
-        for r, clist in m.cands.items():
-            usable = [c for c in clist
-                      if (all(e in accepted for e in c.chain_events)
-                          if c.kind == -2
-                          else (c.ev < 0 or c.ev in accepted))]
-            strict = [c for c in usable if not c.pair_only]
-            sel[r] = select_best(strict, params.max_multihits, rng,
-                                 params.report_secondary)
-            res[r] = [c for c in usable if c.pair_only]
-        selected.append(sel)
-        rescue.append(res)
-
-    # mate-pair rescue: a mate whose only alignment is a short-3'-anchor
-    # spliced candidate keeps it when the other mate maps and anchors the
-    # pair (gold test_Paired 21M157N3M records; the pair_best_alignments
-    # role for half-mapped pairs, reference tophat_reports.cpp:358)
-    n = max(batch1.size, batch2.size)
-    for r in range(n):
-        for mi, other_mi in ((0, 1), (1, 0)):
-            if selected[mi].get(r) or not selected[other_mi].get(r):
-                continue
-            pool = rescue[mi].get(r, [])
-            if not pool:
-                continue
-            mate_c = selected[other_mi][r][0]
-            rl_own = int((batch1 if mi == 0 else batch2).lengths[r])
-            rl_oth = int((batch2 if mi == 0 else batch1).lengths[r])
-            graded = [(_grade(c, mate_c, rl_own, rl_oth, params), c)
-                      for c in pool]
-            best = max(graded, key=_grade_key())[1]
-            selected[mi][r] = [best]
-
     final_stats: Dict[int, EventStats] = {}
     records = []
+    chunk_selected = []          # [(batch1, batch2, sel0, sel1)]
     n_pairs = n_single = n_disc = 0
-    n = max(batch1.size, batch2.size)
-    for r in range(n):
-        s1 = selected[0].get(r, []) if r < batch1.size else []
-        s2 = selected[1].get(r, []) if r < batch2.size else []
-        pair_grade = None
-        if s1 and s2:
-            rl1 = int(batch1.lengths[r])
-            rl2 = int(batch2.lengths[r])
-            # pair grading (InsertAlignmentGrade, pair_best_alignments
-            # tophat_reports.cpp:358): keep the happiest combination
-            graded = [(_grade(a, b, rl1, rl2, params), (a, b))
-                      for a in s1 for b in s2]
-            pair_grade, (c1, c2) = max(graded, key=_grade_key())
-            if len(s1) > 1 or len(s2) > 1:
-                s1, s2 = [c1], [c2]
-            if params.no_discordant and not pair_grade.concordant:
-                s1, s2 = [], []
-                pair_grade = None
-            else:
-                n_pairs += 1
-                if not pair_grade.concordant:
-                    n_disc += 1
-        elif s1 or s2:
-            if params.no_mixed:
-                s1, s2 = [], []
-            else:
-                n_single += 1
-        for mi, (own, other, batch) in enumerate(
-                ((s1, s2, batch1), (s2, s1, batch2))):
-            mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
-            for c in own:
-                nh = len(own)
-                flag = samio.FLAG_PAIRED | mate_bit
-                if c.strand:
-                    flag |= samio.FLAG_REVERSE
-                tlen = 0
-                if other:
-                    mate = other[0]
-                    rnext, pnext = "=", mate.pos
-                    if mate.strand:
-                        flag |= samio.FLAG_MATE_REVERSE
-                    if params.v2_sam:
-                        # proper-pair flag + TLEN (2.1.2 SAM conventions;
-                        # the gold v1.1.4 outputs carry neither)
-                        if pair_grade is not None and pair_grade.concordant:
-                            flag |= samio.FLAG_PROPER
-                        rl_own = int(batch.lengths[c.read])
-                        span_own = samio.ref_span(c.cigar(rl_own))
-                        rl_oth = int((batch2 if mi == 0
-                                      else batch1).lengths[mate.read])
-                        span_oth = samio.ref_span(mate.cigar(rl_oth))
-                        lo = min(c.pos, mate.pos)
-                        hi = max(c.pos + span_own, mate.pos + span_oth)
-                        tlen = hi - lo
-                        if c.pos > mate.pos or (c.pos == mate.pos
-                                                and mi == 1):
-                            tlen = -tlen
-                else:
-                    flag |= samio.FLAG_MATE_UNMAPPED
-                    rnext, pnext = "*", -1
-                rl = int(batch.lengths[c.read])
-                if c.ev >= 0:
-                    st = final_stats.setdefault(c.ev, EventStats())
-                    ra = rl - c.t - (c.gap if events["kind"][c.ev] ==
-                                     KIND_INSERTION else 0)
-                    st.add(c.t, ra, c.mm)
-                records.append((c, nh, rl, flag, rnext, pnext, batch, tlen))
+    total1 = total2 = mapped1 = mapped2 = multi1 = multi2 = 0
 
-    records.sort(key=lambda rec: (rec[0].pos, rec[0].read, rec[3] & 0xC0))
+    for ci, (batch1, batch2, m1, m2) in enumerate(chunks):
+        selected: List[Dict[int, List[Candidate]]] = []
+        rescue: List[Dict[int, List[Candidate]]] = []
+        for mi, m in enumerate((m1, m2)):
+            sel = {}
+            res = {}
+            for r, clist in m.cands.items():
+                usable = [c for c in clist
+                          if (all(e in accepted for e in c.chain_events)
+                              if c.kind == -2
+                              else (c.ev < 0 or c.ev in accepted))]
+                strict = [c for c in usable if not c.pair_only]
+                sel[r] = select_best(strict, params.max_multihits, rng,
+                                     params.report_secondary)
+                res[r] = [c for c in usable if c.pair_only]
+            selected.append(sel)
+            rescue.append(res)
+
+        # mate-pair rescue: a mate whose only alignment is a short-3'-
+        # anchor spliced candidate keeps it when the other mate maps and
+        # anchors the pair (gold test_Paired 21M157N3M records; the
+        # pair_best_alignments role for half-mapped pairs,
+        # reference tophat_reports.cpp:358)
+        n = max(batch1.size, batch2.size)
+        for r in range(n):
+            for mi, other_mi in ((0, 1), (1, 0)):
+                if selected[mi].get(r) or not selected[other_mi].get(r):
+                    continue
+                pool = rescue[mi].get(r, [])
+                if not pool:
+                    continue
+                mate_c = selected[other_mi][r][0]
+                rl_own = int((batch1 if mi == 0 else batch2).lengths[r])
+                rl_oth = int((batch2 if mi == 0 else batch1).lengths[r])
+                graded = [(_grade(c, mate_c, rl_own, rl_oth, params), c)
+                          for c in pool]
+                best = max(graded, key=_grade_key())[1]
+                selected[mi][r] = [best]
+
+        for r in range(n):
+            s1 = selected[0].get(r, []) if r < batch1.size else []
+            s2 = selected[1].get(r, []) if r < batch2.size else []
+            pair_grade = None
+            if s1 and s2:
+                rl1 = int(batch1.lengths[r])
+                rl2 = int(batch2.lengths[r])
+                # pair grading (InsertAlignmentGrade, pair_best_alignments
+                # tophat_reports.cpp:358): keep the happiest combination
+                graded = [(_grade(a, b, rl1, rl2, params), (a, b))
+                          for a in s1 for b in s2]
+                pair_grade, (c1, c2) = max(graded, key=_grade_key())
+                if len(s1) > 1 or len(s2) > 1:
+                    s1, s2 = [c1], [c2]
+                if params.no_discordant and not pair_grade.concordant:
+                    s1, s2 = [], []
+                    pair_grade = None
+                else:
+                    n_pairs += 1
+                    if not pair_grade.concordant:
+                        n_disc += 1
+            elif s1 or s2:
+                if params.no_mixed:
+                    s1, s2 = [], []
+                else:
+                    n_single += 1
+            selected[0][r] = s1
+            selected[1][r] = s2
+            for mi, (own, other, batch) in enumerate(
+                    ((s1, s2, batch1), (s2, s1, batch2))):
+                mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
+                for c in own:
+                    nh = len(own)
+                    flag = samio.FLAG_PAIRED | mate_bit
+                    if c.strand:
+                        flag |= samio.FLAG_REVERSE
+                    tlen = 0
+                    if other:
+                        mate = other[0]
+                        rnext, pnext = "=", mate.pos
+                        if mate.strand:
+                            flag |= samio.FLAG_MATE_REVERSE
+                        if params.v2_sam:
+                            # proper-pair flag + TLEN (2.1.2 SAM
+                            # conventions; the gold v1.1.4 outputs carry
+                            # neither)
+                            if (pair_grade is not None
+                                    and pair_grade.concordant):
+                                flag |= samio.FLAG_PROPER
+                            rl_own = int(batch.lengths[c.read])
+                            span_own = samio.ref_span(c.cigar(rl_own))
+                            rl_oth = int((batch2 if mi == 0
+                                          else batch1).lengths[mate.read])
+                            span_oth = samio.ref_span(mate.cigar(rl_oth))
+                            lo = min(c.pos, mate.pos)
+                            hi = max(c.pos + span_own,
+                                     mate.pos + span_oth)
+                            tlen = hi - lo
+                            if c.pos > mate.pos or (c.pos == mate.pos
+                                                    and mi == 1):
+                                tlen = -tlen
+                    else:
+                        flag |= samio.FLAG_MATE_UNMAPPED
+                        rnext, pnext = "*", -1
+                    rl = int(batch.lengths[c.read])
+                    if c.ev >= 0:
+                        st = final_stats.setdefault(c.ev, EventStats())
+                        ra = rl - c.t - (c.gap if events["kind"][c.ev] ==
+                                         KIND_INSERTION else 0)
+                        st.add(c.t, ra, c.mm)
+                    records.append((c, nh, rl, flag, rnext, pnext, batch,
+                                    tlen, ci))
+        chunk_selected.append((batch1, batch2, selected[0], selected[1]))
+        total1 += batch1.size
+        total2 += batch2.size
+        mapped1 += sum(1 for v in selected[0].values() if v)
+        mapped2 += sum(1 for v in selected[1].values() if v)
+        multi1 += sum(1 for v in selected[0].values() if len(v) > 1)
+        multi2 += sum(1 for v in selected[1].values() if len(v) > 1)
+
+    records.sort(key=lambda rec: (rec[0].pos, rec[8], rec[0].read,
+                                  rec[3] & 0xC0))
     lines = []
     bam_recs = []
     from tophat_tpu.io.bam import BamRecord
 
-    for c, nh, rl, flag, rnext, pnext, batch, tlen in records:
+    for c, nh, rl, flag, rnext, pnext, batch, tlen, ci in records:
         cid, local = genome.global_to_contig(np.int64(c.pos))
         mate_ref = -1
         if rnext == "=":
             mcid, pnext_local = genome.global_to_contig(np.int64(pnext))
             pnext = int(pnext_local)
             mate_ref = int(mcid)
-            if mate_ref != int(cid):  # cross-contig mate: name it explicitly
+            if mate_ref != int(cid):  # cross-contig mate: name explicitly
                 rnext = genome.names[mate_ref]
         xs = None
         if c.kind == KIND_JUNCTION:
@@ -280,45 +377,48 @@ def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
                   "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
                   genome.names, lens)
-    for mi, batch in enumerate((batch1, batch2)):
-        mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
-        sel = selected[mi]
-        for r in range(batch.size):
-            if sel.get(r):
-                continue
-            rl = int(batch.lengths[r])
-            w.write(_BR(batch.names[r],
-                        samio.FLAG_PAIRED | mate_bit | samio.FLAG_UNMAPPED,
-                        -1, -1, 0, [], -1, -1, 0,
-                        decode_seq(batch.codes[r][:rl]).encode(),
-                        batch.quals[r][:rl] or b"*", []))
+    for (batch1, batch2, sel0, sel1) in chunk_selected:
+        for mi, (batch, sel) in enumerate(((batch1, sel0),
+                                           (batch2, sel1))):
+            mate_bit = samio.FLAG_READ1 if mi == 0 else samio.FLAG_READ2
+            for r in range(batch.size):
+                if sel.get(r):
+                    continue
+                rl = int(batch.lengths[r])
+                w.write(_BR(
+                    batch.names[r],
+                    samio.FLAG_PAIRED | mate_bit | samio.FLAG_UNMAPPED,
+                    -1, -1, 0, [], -1, -1, 0,
+                    decode_seq(batch.codes[r][:rl]).encode(),
+                    batch.quals[r][:rl] or b"*", []))
     w.close()
 
     _write_beds(out_dir, genome, events, final_stats)
     if params.fusion_search:
         from tophat_tpu.pipeline.fusion_stats import build_fusion_table
-        ft = build_fusion_table(genome, events, params,
-                                [(batch1, selected[0]),
-                                 (batch2, selected[1])])
+        parts = []
+        for (batch1, batch2, sel0, sel1) in chunk_selected:
+            parts += [(batch1, sel0), (batch2, sel1)]
+        ft = build_fusion_table(genome, events, params, parts)
         # mate-pair evidence (pair_support, fusions.cpp:497)
-        for r in range(n):
-            s1 = selected[0].get(r, []) if r < batch1.size else []
-            s2 = selected[1].get(r, []) if r < batch2.size else []
-            if (s1 and s2 and len(s1) <= params.fusion_multipairs
-                    and len(s2) <= params.fusion_multipairs):
-                ft.add_pair(s1[0], s2[0], int(batch1.lengths[r]),
-                            int(batch2.lengths[r]))
+        for (batch1, batch2, sel0, sel1) in chunk_selected:
+            for r in range(max(batch1.size, batch2.size)):
+                s1 = sel0.get(r, []) if r < batch1.size else []
+                s2 = sel1.get(r, []) if r < batch2.size else []
+                if (s1 and s2 and len(s1) <= params.fusion_multipairs
+                        and len(s2) <= params.fusion_multipairs):
+                    ft.add_pair(s1[0], s2[0], int(batch1.lengths[r]),
+                                int(batch2.lengths[r]))
         ft.write(os.path.join(out_dir, "fusions.out"))
     from tophat_tpu.pipeline.report import write_align_summary
 
-    mapped1 = sum(1 for v in selected[0].values() if v)
-    mapped2 = sum(1 for v in selected[1].values() if v)
-    multi1 = sum(1 for v in selected[0].values() if len(v) > 1)
-    multi2 = sum(1 for v in selected[1].values() if len(v) > 1)
     write_align_summary(
-        out_dir, ("Left reads", batch1.size, mapped1, multi1, 0),
-        ("Right reads", batch2.size, mapped2, multi2, 0), None,
+        out_dir, ("Left reads", total1, mapped1, multi1, 0),
+        ("Right reads", total2, mapped2, multi2, 0), None,
         (n_pairs, 0, n_disc), params.max_multihits)
     log(f"paired done in {time.time() - t0:.1f}s; "
-        f"{len(records)} records, {n_pairs} pairs")
-    return dict(events=events, stats=stats, selected=selected, fm=fm)
+        f"{len(records)} records, {n_pairs} pairs over "
+        f"{len(chunk_selected)} chunks")
+    sel_pairs = [(s0, s1) for (_, _, s0, s1) in chunk_selected]
+    return dict(events=events, stats=stats, selected=sel_pairs[0],
+                selected_chunks=sel_pairs, fm=fm)

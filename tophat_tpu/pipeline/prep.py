@@ -40,6 +40,18 @@ class PrepStats:
                 f"reads_in ={self.reads_in}\n"
                 f"reads_out={self.reads_out}\n")
 
+    def merge(self, other: "PrepStats") -> None:
+        """Accumulate another chunk's stats (streamed inputs)."""
+        first = self.reads_in == 0
+        self.reads_in += other.reads_in
+        self.reads_out += other.reads_out
+        self.trashed_short += other.trashed_short
+        self.trashed_lowcomplexity += other.trashed_lowcomplexity
+        self.trashed_n += other.trashed_n
+        self.min_read_len = (other.min_read_len if first else
+                             min(self.min_read_len, other.min_read_len))
+        self.max_read_len = max(self.max_read_len, other.max_read_len)
+
 
 def prep_filter(batch: ReadBatch) -> tuple[np.ndarray, PrepStats]:
     """Returns (keep_mask, stats). Does not reorder or renumber — read IDs
