@@ -217,7 +217,7 @@ def load_known_events(genome, ins_path, del_path, juncs_path):
     return ev if len(ev["left"]) else None
 
 
-def main(argv=None):
+def main(argv=None, resume=False):
     import sys as _sys
 
     argv = list(argv) if argv is not None else _sys.argv[1:]
@@ -242,14 +242,15 @@ def main(argv=None):
         if last == "alldone":
             print(f"[resume] {out_dir}: run already complete", file=sys.stderr)
             return 0
-        print(f"[resume] re-running from stage {last!r}", file=sys.stderr)
-        return main(orig)
+        print(f"[resume] re-running from stage {last!r}; completed "
+              f"mapping chunks will be reused", file=sys.stderr)
+        return main(orig, resume=True)
 
     args = build_parser().parse_args(argv)
 
     from tophat_tpu.index.fasta import read_fasta
     from tophat_tpu.pipeline.params import Params
-    from tophat_tpu.pipeline.run import load_reads, run_pipeline
+    from tophat_tpu.pipeline.run import load_reads
     from tophat_tpu.utils.log import StageLogger
 
     params = Params(
@@ -441,6 +442,8 @@ def main(argv=None):
             known_events=known, gtf_accept=gtf_accept, trans=trans,
             log=logger.log)
     else:
+        import itertools
+
         from tophat_tpu.pipeline.run import (iter_read_batches,
                                              run_pipeline_streaming)
 
@@ -449,19 +452,16 @@ def main(argv=None):
         first = next(batches, None)
         if first is None:
             raise SystemExit("Error: no reads in input")
-        second = next(batches, None)
-        if second is None:
-            run_pipeline(genome, first, params, out_dir, fm=fm,
-                         known_events=known, gtf_accept=gtf_accept,
-                         trans=trans, log=logger.log)
-        else:
-            import itertools
-
-            run_pipeline_streaming(
-                genome, itertools.chain([first, second], batches), params,
-                out_dir, fm=fm, known_events=known, gtf_accept=gtf_accept,
-                trans=trans, log=logger.log)
+        run_pipeline_streaming(
+            genome, itertools.chain([first], batches), params, out_dir,
+            fm=fm, known_events=known, gtf_accept=gtf_accept, trans=trans,
+            tmp_dir=os.path.join(out_dir, "tmp"), resume=resume,
+            log=logger.log)
     logger.stage("alldone")
+    if not args.keep_tmp:
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "tmp"), ignore_errors=True)
     return 0
 
 

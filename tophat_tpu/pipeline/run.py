@@ -457,7 +457,7 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
 def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
                            out_dir: str, fm: Optional[FMIndex] = None,
                            known_events=None, gtf_accept=None, trans=None,
-                           log=print):
+                           tmp_dir=None, resume=False, log=print):
     """Chunked single-end pipeline for read sets larger than one device
     batch: per-chunk map + discovery, a global event union, per-chunk
     realignment, global junction filtering, and k-way-merged output
@@ -467,32 +467,47 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    if fm is None:
-        log("Building FM index...")
-        fm = build_fm_index(genome)
     offsets = genome.offsets.astype(np.int32)
+
+    # lazy index: a fully-resumed run (every chunk's mapped tables cached)
+    # never touches the FM index — realignment and reporting only gather
+    # from the genome codes
+    fm_holder = [fm]
+
+    def fm_get():
+        if fm_holder[0] is None:
+            log("Building FM index...")
+            fm_holder[0] = build_fm_index(genome)
+        return fm_holder[0]
+
+    from tophat_tpu.pipeline.prep import PrepStats
 
     chunks: List[MateState] = []
     tables = []
+    prep_all = PrepStats()
     for bi, batch in enumerate(batch_iter):
-        m = _map_mate(fm, offsets, batch, params, log, genome=genome,
-                      trans=trans)
-        tables.append(discover_events(fm, offsets, m.gs, params,
-                                      seg_tables=m.seg_tables, log=None))
-        if params.coverage_search and m.seg_tables is not None:
-            from tophat_tpu.pipeline.coverage import coverage_search_events
-
-            tables.append(coverage_search_events(fm, genome, m.gs,
-                                                 m.seg_tables, params))
-        if m.gapped_events is not None:
-            tables.append(m.gapped_events)
+        m, chunk_tables = _mapped_chunk(fm_get, offsets, batch, params, log,
+                                        genome=genome, trans=trans,
+                                        tmp_dir=tmp_dir, resume=resume,
+                                        tag=f"chunk{bi:05d}")
+        tables.extend(chunk_tables)
+        prep_all.merge(m.prep_stats)
         chunks.append(m)
         log(f"chunk {bi}: {batch.size} reads")
+    if fm_holder[0] is None:
+        import types
+
+        fm = types.SimpleNamespace(genome=genome.codes)
+    else:
+        fm = fm_holder[0]
     if known_events is not None:
         tables.append(known_events)
     events = merge_events(*tables)
     log(f"{len(events['left'])} candidate events across "
         f"{len(chunks)} chunks")
+
+    with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
+        f.write(prep_all.info_text())
 
     stats: Dict[int, object] = {}
     for m in chunks:
@@ -519,3 +534,62 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
     log(f"streaming done in {time.time() - t0:.1f}s; {len(records)} "
         f"alignments over {len(chunks)} chunks")
     return dict(events=events, stats=stats, parts=parts, fm=fm)
+
+
+def _mapped_chunk(fm_get, offsets, batch, params, log, genome=None,
+                  trans=None, tmp_dir=None, resume=False, tag="chunk"):
+    """Map + discover one chunk, with optional per-stage artifact reuse:
+    when `tmp_dir` is set the mapped state + discovery tables persist as
+    <tmp_dir>/<tag>.pkl, and `resume=True` reloads them instead of
+    redoing the mapping (the reference's per-stage resume-skip,
+    src/tophat.py:240 doResume + :2164-2176 bowtie resume_skip).
+    fm_get: zero-arg callable returning the FM index (built lazily — a
+    resumed chunk never needs it)."""
+    import pickle
+
+    art = os.path.join(tmp_dir, f"{tag}.pkl") if tmp_dir else None
+    if resume and art and os.path.exists(art):
+        try:
+            with open(art, "rb") as f:
+                m, chunk_tables, size = pickle.load(f)
+            if size == batch.size:
+                m.batch = batch     # reads reload from the input files
+                log(f"[resume] {tag}: reusing mapped tables")
+                return m, chunk_tables
+        except Exception:
+            pass  # corrupt/stale artifact: redo the stage
+    fm = fm_get() if callable(fm_get) else fm_get
+    m = _map_mate(fm, offsets, batch, params, log, genome=genome,
+                  trans=trans)
+    chunk_tables = [discover_events(fm, offsets, m.gs, params,
+                                    seg_tables=m.seg_tables, log=None)]
+    if params.coverage_search and m.seg_tables is not None:
+        from tophat_tpu.pipeline.coverage import coverage_search_events
+
+        chunk_tables.append(coverage_search_events(fm, genome, m.gs,
+                                                   m.seg_tables, params))
+    if ((params.butterfly_search or params.microexon_search)
+            and m.seg_tables is not None):
+        from tophat_tpu.pipeline.butterfly import (butterfly_search_events,
+                                                   microexon_events)
+
+        if params.butterfly_search:
+            chunk_tables.append(butterfly_search_events(
+                fm, genome, m.gs, m.seg_tables, params))
+        if params.microexon_search:
+            chunk_tables.append(microexon_events(fm, genome, m.gs,
+                                                 m.seg_tables, params))
+    if m.gapped_events is not None:
+        chunk_tables.append(m.gapped_events)
+    if art:
+        try:
+            os.makedirs(tmp_dir, exist_ok=True)
+            batch_ref = m.batch
+            m.batch = None          # reads live in the input files
+            with open(art, "wb") as f:
+                pickle.dump((m, chunk_tables, batch_ref.size), f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+            m.batch = batch_ref
+        except OSError:
+            m.batch = batch_ref
+    return m, chunk_tables
