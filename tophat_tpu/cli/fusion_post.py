@@ -18,9 +18,14 @@ accepted_hits.sam|bam); writes `tophatfusion_out/` with
 
 Differences from the reference, by design:
   * kmer mapping uses the repo's FM index (no bowtie subprocess).
-  * the blastn re-check stage (do_blast :1037) is skipped — blast is not
-    available; equivalent repeat filtering comes from the kmer map's
-    multi-placement check. (--skip-blast was a supported reference mode.)
+  * the blastn re-check stage (do_blast :1037) runs only when both
+    `blastn` is on PATH and the reference's `blast/` database directory
+    exists next to the run (same probe the stage implicitly requires);
+    otherwise it is skipped with a log line, and equivalent repeat
+    filtering comes from the kmer map's multi-placement check.
+  * --num-fusion-both defaults to 0: the reference's usage text says 5
+    (tophat-fusion-post:32) but its code default is 0 (:70); behavior
+    parity follows the code.
   * reads panels are reconstructed from this pipeline's single-record
     fused alignments (XF:Z:<chr1>-<chr2> <p1> <p2> <dir> summary tags).
 
@@ -70,8 +75,9 @@ def build_parser():
     p.add_argument("--skip-fusion-kmer", action="store_true")
     p.add_argument("--skip-filter-fusion", action="store_true")
     p.add_argument("--skip-blast", action="store_true",
-                   help="accepted for compatibility (blast is always "
-                        "skipped; see module docstring)")
+                   help="skip the blastn re-check stage (it also "
+                        "auto-skips when blastn or the blast/ database "
+                        "directory is absent; see module docstring)")
     p.add_argument("--skip-read-dist", action="store_true")
     p.add_argument("--skip-html", action="store_true")
     p.add_argument("--fusion-pair-dist", type=int, default=250)
@@ -888,6 +894,62 @@ def write_report(fusion_list, clusters, out_dir):
 
 # ---------------------------------------------------------------------------
 
+def do_blast(potential, params, out_dir, cwd="."):
+    """Blast 50-mers around fusion breakpoints against the genomic and nt
+    databases (reference: do_blast, tophat-fusion-post:1037). Runs only
+    when `blastn` is on PATH and the reference's `blast/` database layout
+    (blast/human_genomic or blast/other_genomic, blast/nt) exists under
+    the working directory — the same implicit requirements the reference
+    stage has; otherwise logs and returns. Artifacts land in
+    blast_genomic/ and blast_nt/, one file per query sequence, the layout
+    the reference's report stage consumes."""
+    import shutil
+    import subprocess
+
+    blast_dir = os.path.join(cwd, "blast")
+    genomic_db = os.path.join(
+        blast_dir, "human_genomic" if not params.non_human
+        else "other_genomic")
+    nt_db = os.path.join(blast_dir, "nt")
+    if shutil.which("blastn") is None or not os.path.isdir(blast_dir):
+        print("[fusion-post] blastn or blast/ databases unavailable — "
+              "skipping the blast re-check stage", file=sys.stderr)
+        return
+    print("[fusion-post] blasting 50-mers around fusions", file=sys.stderr)
+    g_out = os.path.join(out_dir, "blast_genomic")
+    nt_out = os.path.join(out_dir, "blast_nt")
+    os.makedirs(g_out, exist_ok=True)
+    os.makedirs(nt_out, exist_ok=True)
+
+    def blast(database, seq, outdir):
+        path = os.path.join(outdir, seq)
+        if os.path.exists(path):
+            return
+        def run(extra):
+            r = subprocess.run(
+                ["blastn", "-db", database] + extra,
+                input=seq.encode(), capture_output=True)
+            return r.stdout.decode(errors="replace")
+        out = run(["-evalue", "1e-10", "-word_size", "28"])
+        if "No hits found" in out:
+            out = run(["-evalue", "1e-5"])
+        p1 = out.find(">ref|")
+        p2 = out.find("Database: ", max(p1, 0))
+        out = out[p1:p2].rstrip() if (p1 != -1 and p1 < p2) else ""
+        with open(path, "w") as f:
+            f.write(out)
+
+    for block in potential:
+        if len(block) < 5:
+            continue
+        left_seq = block[1].split(" ")[0]
+        right_seq = block[2].split(" ")[1]
+        both = left_seq + right_seq
+        for s in (left_seq, right_seq, both):
+            blast(genomic_db, s, g_out)
+            blast(nt_db, s, nt_out)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     args.filter_by_annotation = not args.no_filter_by_annotation
@@ -930,6 +992,9 @@ def main(argv=None):
         if os.path.exists(path):
             lines = open(path).read().splitlines()
             potential = [lines[i:i + 6] for i in range(0, len(lines), 6)]
+
+    if not args.skip_blast:
+        do_blast(potential, args, out_dir)
 
     panels = {}
     if not args.skip_read_dist:

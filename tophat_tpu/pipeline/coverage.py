@@ -6,11 +6,13 @@ islands; island edges spawn LOOK_LEFT/LOOK_RIGHT windows (extend=45,
 repeat_tol=5, min island length 20) scanned for splice dinucleotides, and
 donor/acceptor sites pair within [min_coverage_intron, max_coverage_intron).
 
-Differences from the reference (documented, conservative):
-  - the mer-extension "extendable junction" check (butterfly machinery,
-    segment_juncs.cpp:1520) is not applied; over-generated candidates are
-    instead removed by the realignment-support filter, and pairing is
-    capped per donor and globally.
+Candidate pairs are gated by the mer-extension "extendable junction" check
+(segment_juncs.cpp:1520, via RecordExtendableJuncs :1570): a junction is
+admitted only when its exon-side 10-mer occurs in an IUM read with a >= 7bp
+exact extension into the reference on either side — the same table the
+butterfly search uses (pipeline/butterfly.py). This keeps the candidate
+event table (which every read realigns against) from inflating on noisy
+genomes.
 """
 
 from __future__ import annotations
@@ -83,8 +85,17 @@ def coverage_search_events(fm, genome, gs, seg_tables,
 
     offsets = genome.offsets
 
+    # mer-extension table over the IUM reads' forward rows (the butterfly
+    # machinery's index_read_mers; extendable_junction :1520)
+    from tophat_tpu.pipeline.butterfly import ExtendChecker, build_mer_table
+
+    fwd = [gs.readsg[i, :int(gs.lengths[i])]
+           for i in range(gs.rows) if int(gs.strand[i]) == 0]
+    check = ExtendChecker(g, build_mer_table(fwd))
+
     def pair(left_sites, right_sites, antisense):
-        """RecordExtendableJuncs pairing: right in [left+min, left+max)."""
+        """RecordExtendableJuncs pairing: right in [left+min, left+max),
+        each admitted pair mer-extendable."""
         if left_sites.size == 0 or right_sites.size == 0:
             return [], [], []
         lo = np.searchsorted(right_sites,
@@ -103,6 +114,11 @@ def coverage_search_events(fm, genome, gs, seg_tables,
             same = (np.searchsorted(offsets, ls, "right")
                     == np.searchsorted(offsets, rs, "right"))
             ls, rs = ls[same], rs[same]
+        if ls.size:
+            ext = np.fromiter(
+                (check(int(l), int(r)) for l, r in zip(ls - 1, rs + 2)),
+                bool, count=len(ls))
+            ls, rs = ls[ext], rs[ext]
         return (ls - 1, rs + 2, np.full(len(ls), antisense, bool))
 
     fl, fr, fa = pair(fwd_donors, fwd_acceptors, False)
