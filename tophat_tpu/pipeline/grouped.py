@@ -273,14 +273,18 @@ def run_pipeline_grouped(genome: Genome, batch, params: Params,
     with open(os.path.join(out_dir, "prep_reads.info"), "w") as f:
         f.write(m.prep_stats.info_text())
 
+    from tophat_tpu.pipeline.run import _v2_score_of
+
     rng = np.random.default_rng(1)
+    score_of = _v2_score_of(params, mates, events, stats)
     selected = {}
     for r, clist in m.cands.items():
         usable = [c for c in clist
                   if (all(e in accepted for e in c.chain_events)
                       if c.kind == -2 else (c.ev < 0 or c.ev in accepted))]
         selected[r] = select_best(usable, params.max_multihits, rng,
-                                  params.report_secondary)
+                                  params.report_secondary,
+                                  score_of=score_of)
 
     records = write_outputs(out_dir, genome, params, batch, selected,
                             events)

@@ -202,6 +202,10 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
     n_pairs = n_single = n_disc = 0
     total1 = total2 = mapped1 = mapped2 = multi1 = multi2 = 0
 
+    from tophat_tpu.pipeline.run import _v2_score_of
+
+    all_mates = [m for (_, _, m1, m2) in chunks for m in (m1, m2)]
+    score_of = _v2_score_of(params, all_mates, events, stats)
     for ci, (batch1, batch2, m1, m2) in enumerate(chunks):
         selected: List[Dict[int, List[Candidate]]] = []
         rescue: List[Dict[int, List[Candidate]]] = []
@@ -215,7 +219,8 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
                               else (c.ev < 0 or c.ev in accepted))]
                 strict = [c for c in usable if not c.pair_only]
                 sel[r] = select_best(strict, params.max_multihits, rng,
-                                     params.report_secondary)
+                                     params.report_secondary,
+                                     score_of=score_of)
                 res[r] = [c for c in usable if c.pair_only]
             selected.append(sel)
             rescue.append(res)

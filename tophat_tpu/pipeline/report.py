@@ -685,16 +685,21 @@ def filter_junctions(events, stats: Dict[int, EventStats], params,
 
 def select_best(cands: List[Candidate], max_multihits: int,
                 rng: np.random.Generator,
-                report_secondary: bool = False) -> List[Candidate]:
+                report_secondary: bool = False,
+                score_of=None) -> List[Candidate]:
     """read_best_alignments semantics (reference: tophat_reports.cpp:113):
     keep all alignments tied at the best score, dedup by placement, cap at
     max_multihits with random tie down-sampling. report_secondary keeps
-    below-best alignments too (--report-secondary-alignments)."""
+    below-best alignments too (--report-secondary-alignments).
+    score_of overrides the ranking (the --v2-sam AlignStatus rescoring,
+    pipeline/align_status.py)."""
     if not cands:
         return []
-    best = max(c.score for c in cands)
+    if score_of is None:
+        score_of = lambda c: c.score
+    best = max(score_of(c) for c in cands)
     kept = (list(cands) if report_secondary
-            else [c for c in cands if c.score == best])
+            else [c for c in cands if score_of(c) == best])
     seen = set()
     uniq = []
     for c in sorted(kept, key=lambda c: (c.strand, c.pos, c.kind, c.t)):

@@ -252,6 +252,18 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
     return mates, events, stats, accepted, fm
 
 
+def _v2_score_of(params, mates, events, stats):
+    """--v2-sam selection key: the AlignStatus coverage-scaled alignment
+    score (pipeline/align_status.py); None keeps the gold v1 ranking."""
+    if not getattr(params, "v2_sam", False):
+        return None
+    from tophat_tpu.pipeline.align_status import v2_score_map
+
+    smap = v2_score_map([m.cands for m in mates],
+                        [m.batch.lengths for m in mates], events, stats)
+    return lambda c: smap[id(c)]
+
+
 def merge_stats(into: Dict[int, object], other: Dict[int, object]) -> None:
     for e, st in other.items():
         if e in into:
@@ -439,13 +451,15 @@ def run_pipeline(genome: Genome, batch: ReadBatch, params: Params,
         f.write(m.prep_stats.info_text())
 
     rng = np.random.default_rng(1)
+    score_of = _v2_score_of(params, [m], events, stats)
     selected = {}
     for r, clist in m.cands.items():
         usable = [c for c in clist
                   if (all(e in accepted for e in c.chain_events)
                       if c.kind == -2 else (c.ev < 0 or c.ev in accepted))]
         selected[r] = select_best(usable, params.max_multihits, rng,
-                                      params.report_secondary)
+                                  params.report_secondary,
+                                  score_of=score_of)
 
     records = write_outputs(out_dir, genome, params, batch, selected, events)
     log(f"done in {time.time() - t0:.1f}s; {len(records)} alignments "
@@ -518,6 +532,7 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
     accepted = {e for e, st in stats.items() if st.accepted}
 
     rng = np.random.default_rng(1)
+    score_of = _v2_score_of(params, chunks, events, stats)
     parts = []
     for m in chunks:
         selected = {}
@@ -527,7 +542,8 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
                           if c.kind == -2
                           else (c.ev < 0 or c.ev in accepted))]
             selected[r] = select_best(usable, params.max_multihits, rng,
-                                      params.report_secondary)
+                                      params.report_secondary,
+                                      score_of=score_of)
         parts.append((m.batch, selected))
 
     records = write_outputs_multi(out_dir, genome, params, parts, events)
