@@ -40,6 +40,9 @@ def parse_command(case_dir):
             continue
         args.append(t)
         i += 1
+    # the checked-in golds were produced by the TopHat 1.1.4 driver; run
+    # the CLI with its defaults (novel indels opt-in via --allow-indels)
+    args.append("--v114-defaults")
     return args
 
 

@@ -21,7 +21,7 @@ CASES_STRICT = [
     "test_ReverseComplementIndel", "test_IndelWithErrors", "test_Paired",
 ]
 CASES_CLOSE = {  # case -> max total diff lines across all compared files
-    "test_3Segment": 200,
+    "test_3Segment": 105,  # 33 junction records + implied mate flips
 }
 
 

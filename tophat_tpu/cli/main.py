@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow-indels", action="store_true",
                    help="legacy flag (indels are on by default)")
     p.add_argument("--no-novel-indels", action="store_true")
+    p.add_argument("--v114-defaults", action="store_true",
+                   help="emulate the TopHat 1.1.4 driver defaults the "
+                        "regression golds were produced with: novel indel "
+                        "discovery requires --allow-indels (the 1.1.4 "
+                        "driver passed /dev/null for segment.insertions/"
+                        ".deletions to juncs_db and long_spanning_reads "
+                        "unless --allow-indels was given; see the "
+                        "test_3Segment gold run.log vs test_SimpleIndel's)")
     p.add_argument("--insertions", default=None,
                    help="known insertions BED to include")
     p.add_argument("--deletions", default=None,
@@ -269,7 +277,8 @@ def main(argv=None, resume=False):
         max_segment_intron=args.max_segment_intron,
         max_insertion_length=args.max_insertion_length,
         max_deletion_length=args.max_deletion_length,
-        allow_indels=not args.no_novel_indels,
+        allow_indels=(not args.no_novel_indels
+                      and (args.allow_indels or not args.v114_defaults)),
         inner_dist_mean=args.mate_inner_dist,
         inner_dist_std_dev=args.mate_std_dev,
         quals_scale=("phred64" if args.phred64_quals
