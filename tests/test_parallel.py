@@ -84,7 +84,7 @@ def test_fm_range_sharding_matches_single_index():
     w = (n + 3) // 4
     fn = make_sharded_align(mesh, owned_width=w, max_mismatches=2,
                             max_alignments=16)
-    pos, strand, mm, valid, n_hits = fn(
+    pos, strand, mm, valid, n_hits, _trunc = fn(
         fm_stack, shard_starts.astype(np.int64), offsets, rf, rr, lens)
 
     ref = align_reads(build_fm_index(genome), rf, rr, lens, offsets,

@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-deletion-length", type=int, default=3)
     p.add_argument("-r", "--mate-inner-dist", type=int, default=50)
     p.add_argument("--mate-std-dev", type=int, default=20)
+    p.add_argument("-C", "--color", action="store_true",
+                   help="SOLiD colorspace input (csfasta or "
+                        "primer+digit FASTQ)")
+    p.add_argument("-Q", "--quals", default=None,
+                   help="colorspace quality (_QV.qual) files, "
+                        "comma-separated, mate 1")
+    p.add_argument("--quals2", default=None,
+                   help="colorspace quality files, mate 2")
     p.add_argument("--solexa-quals", action="store_true")
     p.add_argument("--solexa1.3-quals", "--phred64-quals",
                    dest="phred64_quals", action="store_true")
@@ -426,6 +434,37 @@ def main(argv=None, resume=False):
 
     files1 = args.reads1.split(",")
     logger.stage("prep_reads")
+    if args.color:
+        # SOLiD colorspace path (-C): color-native genome alignment +
+        # reference-guided decode, then the standard base-space pipeline
+        # (reference: tophat.py:2896-2928; pipeline/colorspace.py)
+        from tophat_tpu.io.color import encode_color_read, read_csfasta
+        from tophat_tpu.io.fastq import read_all
+        from tophat_tpu.pipeline.colorspace import run_pipeline_color
+
+        def color_records(files, qual_csv):
+            quals = qual_csv.split(",") if qual_csv else []
+            recs = []
+            for i, path in enumerate(files):
+                qp = quals[i] if i < len(quals) else None
+                if ".csfasta" in os.path.basename(path):
+                    recs.extend(read_csfasta(path, qp))
+                else:
+                    for name, seq, qual in read_all(path,
+                                                    params.quals_scale):
+                        primer, colors = encode_color_read(seq)
+                        q = qual[1:] if len(qual) == len(seq) else qual
+                        recs.append((name, primer, colors, q))
+            return recs
+
+        recs1 = color_records(files1, args.quals)
+        recs2 = (color_records(args.reads2.split(","), args.quals2)
+                 if args.reads2 else None)
+        run_pipeline_color(genome, recs1, params, out_dir, records2=recs2,
+                           fm=fm, known_events=known, gtf_accept=gtf_accept,
+                           log=logger.log)
+        logger.stage("alldone")
+        return 0
     if gfm is not None:
         if args.reads2:
             raise SystemExit("Error: paired-end input with a contig-group "

@@ -95,6 +95,14 @@ class FMIndex:
     # (one of the two hottest gathers at chromosome scale)
     has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
+    @property
+    def nbytes(self) -> int:
+        """Total bytes of all table leaves — the per-device HBM cost of
+        replicating this index (drives the range-sharding decision in
+        parallel/auto.configure_genome_axis)."""
+        return sum(np.asarray(leaf).nbytes
+                   for leaf in jax.tree_util.tree_leaves(self))
+
     def device_put(self, sharding=None) -> "FMIndex":
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
         return dataclasses.replace(

@@ -29,6 +29,12 @@ import numpy as np
 
 _MESH = None
 _REPL: List[Tuple[Any, Any]] = []  # [(host_obj, replicated_obj)] strong refs
+_GSHARD = None  # range-sharded FM state (see configure_genome_axis)
+
+# Per-device HBM budget for a replicated FM index; beyond it the genome
+# axis activates and the index range-shards (v5e has 16 GiB HBM; leave
+# headroom for read batches, hit tables and XLA scratch)
+DEFAULT_HBM_BYTES = 10 << 30
 
 
 def active():
@@ -42,8 +48,9 @@ def activate(mesh) -> None:
 
 
 def deactivate() -> None:
-    global _MESH
+    global _MESH, _GSHARD
     _MESH = None
+    _GSHARD = None
     _REPL.clear()
 
 
@@ -75,6 +82,119 @@ def n_row_shards() -> int:
     from tophat_tpu.parallel.mesh import READS_AXIS
 
     return _MESH.shape[READS_AXIS]
+
+
+def genome_sharded() -> bool:
+    """True when the FM index is range-sharded over the mesh's genome axis
+    (the production path routes FM-search stages through shard_fm then)."""
+    return _GSHARD is not None
+
+
+def configure_genome_axis(fm, genome, max_read_len: int, log=None) -> None:
+    """Range-shard the FM index over a genome mesh axis when replicating it
+    would blow the per-device HBM budget (SURVEY §2.5 index-sharding row;
+    the reference has no analog — bowtie replicates its whole-genome index
+    into every process, src/tophat.py:2286).
+
+    Idempotent per (fm, mesh). Budget: $TOPHAT_TPU_HBM_BYTES (default
+    DEFAULT_HBM_BYTES); $TOPHAT_TPU_GENOME_SHARDS forces a shard count.
+    The mesh factors n_devices into (reads=n/g, genome=g) with g the
+    smallest divisor of n that brings every sub-index under budget.
+    Sub-indexes rebuild from the genome codes (at production scale they
+    would persist beside the <prefix>.tt.npz cache; rebuild cost ~= one
+    index build)."""
+    global _GSHARD
+    if _MESH is None or fm is None or genome is None:
+        return
+    if _GSHARD is not None and _GSHARD["src"] is fm:
+        if max_read_len <= _GSHARD["overlap"] + 1:
+            return
+    n_dev = int(np.prod(list(_MESH.shape.values())))
+    forced = os.environ.get("TOPHAT_TPU_GENOME_SHARDS")
+    budget = int(os.environ.get("TOPHAT_TPU_HBM_BYTES", DEFAULT_HBM_BYTES))
+    nbytes = fm.nbytes
+    if forced is not None:
+        g = max(1, int(forced))
+    else:
+        g = next((d for d in range(1, n_dev + 1)
+                  if n_dev % d == 0 and nbytes / d <= budget), n_dev)
+    if g <= 1 or n_dev % g or n_dev // g < 1:
+        return
+    from tophat_tpu.parallel.mesh import make_mesh
+    from tophat_tpu.parallel.shard_fm import build_sharded_fm
+
+    devices = list(np.asarray(_MESH.devices).reshape(-1))
+    overlap = max(2 * int(max_read_len), 256)
+    stacked, starts = build_sharded_fm(
+        genome, g, overlap, kmer_k=fm.kmer_k, sa_rate=fm.sa_rate)
+    n_bases = int(np.asarray(genome.codes).shape[0])
+    owned_width = (n_bases + g - 1) // g
+    activate(make_mesh(n_reads_shards=n_dev // g, n_genome_shards=g,
+                       devices=devices))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tophat_tpu.parallel.mesh import GENOME_AXIS
+
+    spec = NamedSharding(_MESH, P(GENOME_AXIS))
+    import jax
+
+    stacked_d = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec), stacked)
+    _GSHARD = dict(src=fm, fm=stacked_d,
+                   starts=jax.device_put(starts.astype(np.int32), spec),
+                   owned_width=owned_width, overlap=overlap, g=g, fns={})
+    if log:
+        log(f"index range-sharded over {g} devices "
+            f"({nbytes / (1 << 30):.2f} GiB total, "
+            f"{nbytes / g / (1 << 30):.2f} GiB/device; reads axis "
+            f"{n_dev // g})")
+
+
+def _gshard_fn(kind: str, **kw):
+    key = (kind, tuple(sorted(kw.items())))
+    fn = _GSHARD["fns"].get(key)
+    if fn is None:
+        from tophat_tpu.parallel import shard_fm
+
+        make = (shard_fm.make_sharded_align if kind == "full"
+                else shard_fm.make_sharded_align_rows)
+        fn = make(_MESH, owned_width=_GSHARD["owned_width"], **kw)
+        _GSHARD["fns"][key] = fn
+        if len(_GSHARD["fns"]) > 32:
+            _GSHARD["fns"].pop(next(iter(_GSHARD["fns"])))
+    return fn
+
+
+def sharded_align(reads_f, reads_r, lengths, offsets, *, max_mismatches,
+                  hits_per_seed, max_alignments, kmer_fast, resolve_cap,
+                  uniform_len):
+    """Full-read alignment against the range-sharded index (both strands).
+    Returns an ops.align.Alignments. Only call when genome_sharded()."""
+    from tophat_tpu.ops.align import Alignments
+
+    fn = _gshard_fn("full", max_mismatches=max_mismatches,
+                    hits_per_seed=hits_per_seed,
+                    max_alignments=max_alignments, kmer_fast=kmer_fast,
+                    resolve_cap=resolve_cap, uniform_len=uniform_len)
+    (rf, rr, ln), B = shard_rows(reads_f, reads_r, lengths)
+    pos, st, mm, va, nh, tr = fn(_GSHARD["fm"], _GSHARD["starts"],
+                                 replicated(np.asarray(offsets)), rf, rr, ln)
+    return Alignments(pos=np.asarray(pos)[:B], strand=np.asarray(st)[:B],
+                      mm=np.asarray(mm)[:B], valid=np.asarray(va)[:B],
+                      n_hits=np.asarray(nh)[:B],
+                      truncated=np.asarray(tr)[:B])
+
+
+def sharded_align_rows(reads, lengths, offsets, *, max_mismatches,
+                       hits_per_seed, max_hits):
+    """Forward-rows (segment) alignment against the range-sharded index.
+    Returns (pos, mm, valid, n_hits, truncated) numpy arrays."""
+    fn = _gshard_fn("rows", max_mismatches=max_mismatches,
+                    hits_per_seed=hits_per_seed, max_hits=max_hits)
+    (rd, ln), B = shard_rows(reads, lengths)
+    out = fn(_GSHARD["fm"], _GSHARD["starts"],
+             replicated(np.asarray(offsets)), rd, ln)
+    return tuple(np.asarray(a)[:B] for a in out)
 
 
 def replicated(obj):

@@ -34,14 +34,17 @@ from jax.sharding import PartitionSpec as P
 
 
 def build_sharded_fm(genome: Genome, n_shards: int, overlap: int,
-                     kmer_k: int = 0) -> Tuple[FMIndex, np.ndarray]:
+                     kmer_k: int = 0, sa_rate: int = 0
+                     ) -> Tuple[FMIndex, np.ndarray]:
     """Build n_shards range sub-indexes, stacked leaf-wise on a leading
     shard axis (so one FMIndex pytree shards over the mesh's genome axis
     with PartitionSpec(GENOME_AXIS) on every leaf).
 
     Returns (stacked_fm, shard_starts). All slices pad to equal width;
-    padding is code 0 — spurious seed hits into padding start at local
-    positions >= the owned width and are dropped by the ownership filter.
+    padding is N (code 4), which never matches a read base — padding can
+    neither produce spurious hits nor crowd real hits out of the per-seed
+    hit budget (any hit that still starts past the owned width is dropped
+    by the ownership filter).
     """
     codes = np.asarray(genome.codes)
     n = codes.shape[0]
@@ -54,10 +57,11 @@ def build_sharded_fm(genome: Genome, n_shards: int, overlap: int,
         sl = codes[s: min(n, s + width)]
         if sl.shape[0] < width:
             sl = np.concatenate(
-                [sl, np.zeros(width - sl.shape[0], np.int8)])
+                [sl, np.full(width - sl.shape[0], 4, np.int8)])
         sub = build_fm_index(Genome(codes=sl,
                                     offsets=np.array([0, width]),
-                                    names=["shard"]), kmer_k=kmer_k)
+                                    names=["shard"]), kmer_k=kmer_k,
+                             sa_rate=sa_rate)
         subs.append(sub)
     leaves = [jax.tree_util.tree_leaves(s) for s in subs]
     treedef = jax.tree_util.tree_structure(subs[0])
@@ -68,15 +72,16 @@ def build_sharded_fm(genome: Genome, n_shards: int, overlap: int,
 
 def make_sharded_align(mesh, *, owned_width: int, max_mismatches: int = 2,
                        hits_per_seed: int = 16, max_alignments: int = 16,
-                       kmer_fast: bool = False):
+                       kmer_fast: bool = False, resolve_cap: int = 0,
+                       uniform_len: int = 0):
     """Jitted fn(fm_stacked, shard_starts, offsets, reads_f, reads_r,
-    lengths) -> (pos, strand, mm, valid, n_hits) with reads sharded over
-    READS_AXIS, the index sharded over GENOME_AXIS, outputs sharded over
-    reads and replicated over genome."""
-    from tophat_tpu.ops.align import NEG, align_reads
+    lengths) -> (pos, strand, mm, valid, n_hits, truncated) with reads
+    sharded over READS_AXIS, the index sharded over GENOME_AXIS, outputs
+    sharded over reads and replicated over genome. Hit ordering matches
+    the single-index _align_batch_core exactly: valid-first, then
+    (strand, pos) — required for byte-identical pipeline outputs."""
+    from tophat_tpu.ops.align import NEG, _align_batch_core
     from tophat_tpu.ops.verify import same_contig
-
-    ng = mesh.shape[GENOME_AXIS]
 
     def local(fm, starts, offsets, reads_f, reads_r, lengths):
         fm1 = jax.tree_util.tree_map(lambda x: x[0], fm)
@@ -85,11 +90,13 @@ def make_sharded_align(mesh, *, owned_width: int, max_mismatches: int = 2,
         # sub-index is one padded contig, so pass trivial local offsets
         # and apply the real contig filter after rebasing
         local_off = jnp.asarray([0, fm1.n], jnp.int32)
-        al = align_reads(fm1, reads_f, reads_r, lengths, local_off,
-                         max_mismatches=max_mismatches,
-                         hits_per_seed=hits_per_seed,
-                         max_alignments=max_alignments,
-                         kmer_fast=kmer_fast)
+        al = _align_batch_core(fm1, reads_f, reads_r, lengths, local_off,
+                               max_mismatches=max_mismatches,
+                               hits_per_seed=hits_per_seed,
+                               max_alignments=max_alignments,
+                               kmer_fast=kmer_fast,
+                               resolve_cap=resolve_cap,
+                               uniform_len=uniform_len)
         owned = al.valid & (al.pos < owned_width)
         gpos = al.pos + start.astype(al.pos.dtype)
         owned &= same_contig(offsets, gpos, lengths[:, None])
@@ -109,15 +116,59 @@ def make_sharded_align(mesh, *, owned_width: int, max_mismatches: int = 2,
             (inval, st_g, pos_g, mm_g, va_g), dimension=1, num_keys=3)
         sl = slice(0, max_alignments)
         n_hits = va_g.sum(axis=1).astype(jnp.int32)
+        trunc = jax.lax.psum(al.truncated.astype(jnp.int32),
+                             GENOME_AXIS) > 0
         return (pos_s[:, sl], st_s[:, sl].astype(jnp.int8),
                 mm_s[:, sl].astype(jnp.int8), va_s[:, sl].astype(bool),
-                n_hits)
+                n_hits, trunc)
 
     fn = shard_map(
         local, mesh,
         in_specs=(P(GENOME_AXIS),  # prefix spec: every FMIndex leaf
                   P(GENOME_AXIS), P(), P(READS_AXIS),
                   P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                   P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)))
+    return jax.jit(fn)
+
+
+def make_sharded_align_rows(mesh, *, owned_width: int, max_mismatches: int,
+                            hits_per_seed: int, max_hits: int):
+    """Forward-text-only variant of make_sharded_align for genome-space
+    rows (segment mapping). fn(fm_stacked, shard_starts, offsets, reads,
+    lengths) -> (pos, mm, valid, n_hits, truncated); ordering matches
+    _align_forward_rows_jit (valid-first, then pos)."""
+    from tophat_tpu.ops.align import NEG, _align_one_strand
+    from tophat_tpu.ops.verify import same_contig
+
+    def local(fm, starts, offsets, reads, lengths):
+        fm1 = jax.tree_util.tree_map(lambda x: x[0], fm)
+        start = starts[0]
+        cand, mm, valid, trunc = _align_one_strand(
+            fm1, reads, lengths, max_mismatches, hits_per_seed)
+        owned = valid & (cand < owned_width)
+        gpos = cand + start.astype(cand.dtype)
+        owned &= same_contig(offsets, gpos, lengths[:, None])
+        gpos = jnp.where(owned, gpos, -NEG)
+
+        pos_g = jax.lax.all_gather(gpos, GENOME_AXIS, axis=1, tiled=True)
+        mm_g = jax.lax.all_gather(mm.astype(jnp.int32), GENOME_AXIS,
+                                  axis=1, tiled=True)
+        va_g = jax.lax.all_gather(owned.astype(jnp.int32), GENOME_AXIS,
+                                  axis=1, tiled=True)
+        inval = 1 - va_g
+        _, pos_s, mm_s, va_s = jax.lax.sort(
+            (inval, pos_g, mm_g, va_g), dimension=1, num_keys=2)
+        sl = slice(0, max_hits)
+        n_hits = va_g.sum(axis=1).astype(jnp.int32)
+        trunc = jax.lax.psum(trunc.astype(jnp.int32), GENOME_AXIS) > 0
+        return (pos_s[:, sl], mm_s[:, sl].astype(jnp.int8),
+                va_s[:, sl].astype(bool), n_hits, trunc)
+
+    fn = shard_map(
+        local, mesh,
+        in_specs=(P(GENOME_AXIS), P(GENOME_AXIS), P(), P(READS_AXIS),
+                  P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
                    P(READS_AXIS), P(READS_AXIS)))
     return jax.jit(fn)

@@ -93,6 +93,13 @@ def _align_mate(fm, offsets, batch: ReadBatch, params: Params, log,
     reads_r = revcomp_rows(batch.codes, batch.lengths)
     lengths = batch.lengths.astype(np.int32)
 
+    # over-budget index + active mesh: range-shard the FM index over the
+    # genome axis before the first device stage (parallel/auto.py)
+    from tophat_tpu.parallel import auto
+
+    if auto.active() is not None and genome is not None and batch.size:
+        auto.configure_genome_axis(fm, genome, int(lengths.max()), log=log)
+
     # transcriptome mapping first (_reads_vs_T): reads placed on annotated
     # transcripts skip the genome/segment path entirely, like the reference
     # feeding only m2g_unmapped into _reads_vs_G (tophat.py:3326, 3538)
