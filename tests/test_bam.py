@@ -106,3 +106,30 @@ def test_native_bgzf_roundtrip(tmp_path):
     p3 = str(tmp_path / "empty.bgzf")
     bgzf.write_file(p3, b"")
     assert bgzf.read_file(p3) == b""
+
+
+def test_bgzf_incompressible_payload_roundtrip(tmp_path):
+    """Random (incompressible) payloads deflate-expand past the 16-bit
+    BGZF BSIZE field; both writers must split/store instead of failing
+    (samtools bgzf.c deflate_block behavior)."""
+    import io
+
+    import numpy as np
+
+    from tophat_tpu.io.bam import BgzfWriter, bgzf_blocks
+
+    data = np.random.default_rng(0).integers(0, 256, 300_000) \
+        .astype(np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = BgzfWriter(buf)
+    w.write(data)
+    w.close()
+    buf.seek(0)
+    assert b"".join(bgzf_blocks(buf)) == data
+
+    from tophat_tpu.native import bgzf
+
+    if bgzf.available:
+        p = str(tmp_path / "x.bam")
+        bgzf.write_file(p, data, level=6)
+        assert bgzf.read_file(p) == data

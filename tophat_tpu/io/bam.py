@@ -79,6 +79,14 @@ class BgzfWriter:
         data = bytes(data)
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(data) + co.flush()
+        if len(cdata) + 26 > 65536 and len(data) > 1:
+            # incompressible payload expanded past the BGZF 16-bit BSIZE
+            # field: split and emit two blocks (samtools caps the
+            # compressed size the same way, bgzf.c deflate_block)
+            half = len(data) // 2
+            self._flush_block(data[:half])
+            self._flush_block(data[half:])
+            return
         bsize = len(cdata) + 25  # BSIZE = total block size - 1
         header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
                   + struct.pack("<H", 6)

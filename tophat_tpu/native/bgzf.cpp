@@ -54,7 +54,14 @@ bool compress_block(const uint8_t* src, int len, int level,
   h[14] = 2;
   h[15] = 0;
   uint32_t bsize = static_cast<uint32_t>(clen) + 25;  // total - 1
-  if (bsize > 0xffff) return false;
+  if (bsize > 0xffff) {
+    // incompressible payload expanded past the 16-bit BSIZE field:
+    // redo as stored deflate (level 0), whose worst case for 65000
+    // bytes is ~65012 -> bsize ~65037 < 0xffff (samtools caps the
+    // compressed size the same way, bgzf.c deflate_block)
+    if (level == 0) return false;
+    return compress_block(src, len, 0, out);
+  }
   h[16] = bsize & 0xff;
   h[17] = (bsize >> 8) & 0xff;
 
