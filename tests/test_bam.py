@@ -133,3 +133,23 @@ def test_bgzf_incompressible_payload_roundtrip(tmp_path):
         p = str(tmp_path / "x.bam")
         bgzf.write_file(p, data, level=6)
         assert bgzf.read_file(p) == data
+
+
+def test_bam_record_beyond_512mbp(tmp_path):
+    """BAM records past 2^29 (long contigs) must encode: the 16-bit BAI bin
+    field cannot represent them, so reg2bin falls back to bin 0 (htslib
+    pseudo-bin convention for CSI-range coordinates)."""
+    from tophat_tpu.io.bam import (BamRecord, BamWriter, read_bam)
+
+    p = str(tmp_path / "big.bam")
+    rec = BamRecord(name="r1", flag=0, ref_id=0, pos=(1 << 30) + 12345,
+                    mapq=255, cigar=[("M", 24)], ref_id2=-1, pos2=-1,
+                    tlen=0, seq=b"ACGT" * 6, qual=b"I" * 24,
+                    tags=[("NM", "i", 0)])
+    w = BamWriter(p, "@HD\tVN:1.0\n", ["chr1"], [(1 << 31) - 1])
+    w.write(rec)
+    w.close()
+    _, names, _, records = read_bam(p)
+    assert names == ["chr1"]
+    assert records[0].pos == (1 << 30) + 12345
+    assert records[0].seq == b"ACGT" * 6

@@ -215,20 +215,28 @@ def _build_kmer_table(text: np.ndarray, sa: np.ndarray, k: int):
 
 
 def build_fm_index(genome: Genome | np.ndarray,
-                   kmer_k: int = 0, sa_rate: int = 0) -> FMIndex:
+                   kmer_k: int = 0, sa_rate: int = 0,
+                   sa: np.ndarray | None = None) -> FMIndex:
     """Build the FM-index of a genome's forward strand on the host.
 
     Reverse-strand alignment is done by searching the reverse complement of
     the read against this same index (no second index needed).
     kmer_k > 0 additionally builds the k-mer SA-interval seed table.
     sa_rate > 0 stores a text-order-sampled SA (1/sa_rate of the values)
-    instead of the full array — see FMIndex field docs."""
+    instead of the full array — see FMIndex field docs.
+    sa: precomputed suffix array of text (N->A) with sentinel — lets
+    several table variants (different kmer_k / sa_rate design points)
+    build from ONE SA-IS pass, the dominant build cost at genome scale."""
     codes = genome.codes if isinstance(genome, Genome) else np.asarray(genome)
     codes = codes.astype(np.int8)
     text = np.where(codes == 4, 0, codes).astype(np.int8)  # N -> A in FM text
     n = text.shape[0]
 
-    sa = suffix_array(text)
+    if sa is None:
+        sa = suffix_array(text)
+    else:
+        sa = np.asarray(sa)
+        assert sa.shape[0] == n + 1, "precomputed SA length mismatch"
     bwt, primary = bwt_from_sa(text, sa)
     m = n + 1
 

@@ -129,6 +129,11 @@ class BamRecord:
 
 def reg2bin(beg: int, end: int) -> int:
     end -= 1
+    if beg >= 1 << 29 or end >= 1 << 29:
+        # the 16-bit BAI binning scheme only covers [0, 2^29); htslib
+        # stores the pseudo-bin for out-of-range coordinates (CSI indexes
+        # carry the real bins for long contigs)
+        return 0
     if beg >> 14 == end >> 14:
         return ((1 << 15) - 1) // 7 + (beg >> 14)
     if beg >> 17 == end >> 17:
