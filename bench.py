@@ -145,7 +145,7 @@ def bench_spliced(fm_d):
             break
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
                     names=["chr1"])
-    B = 8192
+    B = 32768   # larger chunks amortize the per-stage dispatch overhead
 
     def make(seed):
         r = np.random.default_rng(seed)

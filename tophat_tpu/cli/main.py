@@ -233,6 +233,17 @@ def load_known_events(genome, ins_path, del_path, juncs_path):
     return ev if len(ev["left"]) else None
 
 
+def _index_design_point(big: bool):
+    """(kmer_k, sa_rate) for in-process index builds. Defaults: k=13 seed
+    table + 1/4-sampled SA beyond 256 Mbp (conservative HBM footprint;
+    PERF.md's sweep shows k=14/sa_rate=2 is ~26% faster at 1 Gbp when the
+    extra ~2.5 GiB HBM is available). Overridable with
+    $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE."""
+    kk = int(os.environ.get("TOPHAT_TPU_KMER_K", 13 if big else 0))
+    sr = int(os.environ.get("TOPHAT_TPU_SA_RATE", 4 if big else 0))
+    return kk, sr
+
+
 def main(argv=None, resume=False):
     import sys as _sys
 
@@ -340,9 +351,9 @@ def main(argv=None, resume=False):
             cache_prefix = cand if os.access(os.path.dirname(cand) or ".",
                                              os.W_OK) else None
         big = genome.n > (1 << 28)
+        kk, sr = _index_design_point(big)
         gfm = build_grouped_fm(genome, max_bases=max_index_bases,
-                               kmer_k=13 if big else 0,
-                               sa_rate=4 if big else 0,
+                               kmer_k=kk, sa_rate=sr,
                                cache_prefix=cache_prefix, log=logger.log)
         logger.log(f"genome partitioned into {gfm.n_groups} contig groups")
     elif args.tt_index:
@@ -358,8 +369,8 @@ def main(argv=None, resume=False):
             logger.log(f"genome FM index: reusing {path}")
         else:
             big = genome.n > (1 << 28)
-            fm = build_fm_index(genome, kmer_k=13 if big else 0,
-                                sa_rate=4 if big else 0)
+            kk, sr = _index_design_point(big)
+            fm = build_fm_index(genome, kmer_k=kk, sa_rate=sr)
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)

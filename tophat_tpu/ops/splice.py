@@ -116,6 +116,8 @@ def _pairs_for_offset(seg_pos, seg_valid, cuts, nseg, doff,
         valid=ok.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("min_seg_intron", "max_seg_intron",
+                                   "segment_length"))
 def build_pair_windows(seg_pos, seg_valid, cuts, nseg, lengths,
                        min_seg_intron: int, max_seg_intron: int,
                        segment_length: int):
@@ -291,6 +293,7 @@ def _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
         valid=ok.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("fusion_min_dist",))
 def build_fusion_windows(seg_pos, seg_valid, cuts, nseg, lengths, offsets,
                          fusion_min_dist: int):
     """Candidate fusion windows: same-row segment-hit pairs (adjacent, or
@@ -378,6 +381,7 @@ def compact_by_valid(valid, arrays, cap: int):
 
 
 @partial(jax.jit, static_argnames=("cap",))
+@partial(jax.jit, static_argnames=("cap",))
 def compact_windows(win: PairWindows, cap: int):
     arrays, valid, overflow = compact_by_valid(
         win.valid, [win.row, win.gl, win.gr, win.sup_start, win.sup_len], cap)
@@ -391,6 +395,8 @@ def compact_windows(win: PairWindows, cap: int):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cap",))
+@partial(jax.jit, static_argnames=("max_deletion", "max_insertion",
+                                   "cap"))
 def build_indel_pairs(seg_pos, seg_mm, seg_valid, cuts, nseg,
                       max_deletion: int, max_insertion: int, cap: int):
     """Adjacent same-strand segment-hit pairs whose genomic extent differs

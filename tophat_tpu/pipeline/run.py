@@ -36,11 +36,16 @@ from tophat_tpu.pipeline.segment import build_genome_space
 
 def revcomp_rows(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """(B, L) left-aligned codes -> revcomp rows, still left-aligned."""
-    out = np.full_like(codes, -1)
-    for i, l in enumerate(lengths):
-        l = int(l)
-        out[i, :l] = revcomp(codes[i, :l])
-    return out
+    B, L = codes.shape
+    if B == 0:
+        return codes.copy()
+    lengths = np.asarray(lengths)
+    # gather the mirrored columns per row: out[i, j] = comp(codes[i, l-1-j])
+    src = lengths[:, None] - 1 - np.arange(L)[None, :]
+    ok = src >= 0
+    g = np.take_along_axis(codes, np.clip(src, 0, L - 1), axis=1)
+    comp = np.where((g >= 0) & (g < 4), 3 - g, g)  # N/pad codes pass through
+    return np.where(ok, comp, np.int8(-1)).astype(np.int8)
 
 
 def load_reads(files: List[str], quals_scale: str) -> ReadBatch:
