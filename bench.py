@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: FM-index short-read alignment throughput on one TPU chip.
 
-Chromosome-scale configuration: a 134 Mbp genome with a sampled suffix
-array (sa_rate=4 — the memory/time design point that scales to mammalian
-genomes) and the production two-tier adaptive aligner (narrow seed budget +
-compacted LF walk, wide re-run for repeat-family reads). This is the
-pipeline's dominant kernel — the role of the external bowtie2 process that
-dominates reference TopHat2 runtime (reference: src/tophat.py:2286-2353).
+Mammalian-scale configuration: a 1 Gbp genome, k=14 seed table, full SA
+(see PERF.md's design-point sweep; the sampled-SA points trade speed for
+HBM), and the production two-tier adaptive aligner (narrow seed budget +
+compacted LF walk, in-program wide re-run for repeat-family reads). This
+is the pipeline's dominant kernel — the role of the external bowtie2
+process that dominates reference TopHat2 runtime (reference:
+src/tophat.py:2286-2353).
 
 A second metric runs the FULL spliced pipeline (segment split, junction
 discovery, realignment, reporting) end-to-end on reads drawn across
@@ -33,7 +34,11 @@ GENOME_N = 1 << 30          # 1.07 Gbp — mammalian-scale operating point
 BATCH = 16384
 READ_LEN = 100
 ITERS = 5
-SA_RATE = 4
+# index design point (PERF.md sweep): k=14 seed table + full SA resolves
+# placements with a direct lookup — 7.9 GiB HBM, fastest of the swept
+# points on v5e (sampled-SA points cover smaller-HBM deployments)
+KMER_K = 14
+SA_RATE = 0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -44,7 +49,7 @@ def get_fm():
     from tophat_tpu.index.fm import FMIndex, build_fm_index
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k13_r{SA_RATE}_v3.npz")
+    path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k{KMER_K}_r{SA_RATE}_v3.npz")
     if os.path.exists(path):
         return FMIndex.load(path)
     rng = np.random.default_rng(7)
@@ -52,7 +57,7 @@ def get_fm():
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
                     names=["chr1"])
     t0 = time.time()
-    fm = build_fm_index(genome, kmer_k=13, sa_rate=SA_RATE)
+    fm = build_fm_index(genome, kmer_k=KMER_K, sa_rate=SA_RATE)
     print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
     fm.save(path)
@@ -96,9 +101,12 @@ def bench_unspliced(fm):
     # defer=True: both adaptive tiers run inside one device program (wide
     # re-run gathered in-program) and the per-batch truncation sync of
     # round 2 is gone — batches dispatch back-to-back, one final sync
+    # narrow_hits=6 / max_alignments=8: the narrow tier stays lean (true
+    # placement counts on this workload are ~1-2; n_hits still reports the
+    # real count) and the in-program wide tier rescues truncated rows
     run = lambda b: align_reads_adaptive(
         fm_d, b[0], b[1], b[2], offsets, max_mismatches=2,
-        max_alignments=16, kmer_fast=fast, narrow_hits=8, wide_hits=32,
+        max_alignments=8, kmer_fast=fast, narrow_hits=6, wide_hits=32,
         resolve_cap=1, uniform_len=READ_LEN, defer=True)
     print("# compiling...", file=sys.stderr, flush=True)
     out = run(dev_batches[0])
