@@ -8,6 +8,9 @@ Usage:
   python -m tophat_tpu.cli.utils gtf_to_fasta genes.gtf genome.fa out.fa
   python -m tophat_tpu.cli.utils map2gtf out.fa.tlst trans.sam out.sam \\
       [genome.fa]
+  python -m tophat_tpu.cli.utils sra_to_solid in.fastq > out.fastq
+  python -m tophat_tpu.cli.utils contig_to_chr_coords -b seq_contig.md \\
+      junctions.bed  (src/contig_to_chr_coords, src/sra_to_solid)
 """
 
 from __future__ import annotations
@@ -152,6 +155,74 @@ def map2gtf(tlst_path: str, in_sam: str, out_path, genome_path=None) -> int:
     return n
 
 
+def sra_to_solid(path: str, out=None) -> int:
+    """Strip the primer quality value from SRA-FTP SOLiD FASTQ qual lines
+    (every 4th line loses its first character — reference:
+    src/sra_to_solid:20-27)."""
+    out = out if out is not None else sys.stdout
+    n = 0
+    with open(path) as f:
+        for i, line in enumerate(f):
+            line = line.rstrip("\n")
+            if i % 4 == 3:
+                line = line[1:]
+                n += 1
+            out.write(line + "\n")
+    return n
+
+
+def contig_to_chr_coords(md_path: str, feat_path: str, kind: str,
+                         out=None) -> int:
+    """Map NCBI contig coords to whole-chromosome coords in a BED or
+    GFF/GTF file using a seq_contig.md placement table (reference:
+    src/contig_to_chr_coords:14-127; kind 'bed' mirrors its -b branch,
+    'gff' its -g branch, including the output field layout).
+
+    seq_contig.md columns used: chromosome (col 1), contig start (col 2),
+    contig accession (col 5). Feature lines name contigs in the NCBI
+    `xx|yy|zz|<accession>|...` form (col 0); the accession keys the table.
+    """
+    out = out if out is not None else sys.stdout
+    contigs = {}
+    with open(md_path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            cols = line.strip().split("\t")
+            if len(cols) < 9:
+                continue
+            if cols[5] not in ("start", "end"):
+                contigs[cols[5]] = (cols[1], int(cols[2]))
+    n = 0
+    with open(feat_path) as f:
+        lines = f.readlines()
+    if lines:
+        out.write(lines[0])
+    min_cols = 8 if kind == "gff" else 3
+    for line in lines[1:]:
+        cols = line.strip().split("\t")
+        if len(cols) < min_cols:
+            continue
+        fields = cols[0].split("|")
+        if len(fields) < 4:
+            continue
+        ctg = contigs.get(fields[3])
+        if ctg is None:
+            continue
+        chr_name = ctg[0].split("|")[0]
+        if kind == "gff":
+            left, right = ctg[1] + int(cols[3]), ctg[1] + int(cols[4])
+            out.write(f"chr{chr_name}\tTopHat\tisland\t{left}\t{right}\t"
+                      f"{cols[5]}\t.\t.\t{cols[8]}\n")
+        else:
+            left, right = ctg[1] + int(cols[1]), ctg[1] + int(cols[2])
+            out.write(f"chr{chr_name}\t{left}\t{right}\t{cols[3]}\t0\t"
+                      f"{cols[5]}\t{left}\t{right}\t255,0,0\t2\t1,1\t"
+                      f"{cols[11]}\n")
+        n += 1
+    return n
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -167,6 +238,17 @@ def main(argv=None):
     elif cmd == "map2gtf":
         genome = argv[4] if len(argv) > 4 else None
         map2gtf(argv[1], argv[2], argv[3], genome)
+    elif cmd == "sra_to_solid":
+        sra_to_solid(argv[1])
+    elif cmd == "contig_to_chr_coords":
+        flags = [a for a in argv[1:] if a.startswith("-")]
+        rest = [a for a in argv[1:] if not a.startswith("-")]
+        if ("-b" in flags) == ("-g" in flags) or len(rest) < 2:
+            print("usage: contig_to_chr_coords (-b|-g) <seq_contig.md> "
+                  "<features.bed|.gff>", file=sys.stderr)
+            return 2
+        contig_to_chr_coords(rest[0], rest[1],
+                             "bed" if "-b" in flags else "gff")
     else:
         print(f"unknown utility {cmd!r}", file=sys.stderr)
         return 2

@@ -462,7 +462,7 @@ def align_reads(fm, reads_f, reads_r, lengths, offsets, *,
               resolve_cap=resolve_cap, uniform_len=uniform_len)
     if auto.active() is None:
         return _align_reads_jit(fm, reads_f, reads_r, lengths, offsets, **kw)
-    if auto.genome_sharded():
+    if auto.genome_sharded(fm):
         # index over-budget for replication: range-sharded sub-indexes on
         # the mesh's genome axis, exact merge via all_gather (shard_fm.py)
         return auto.sharded_align(reads_f, reads_r, lengths, offsets, **kw)
@@ -504,7 +504,7 @@ def align_forward_rows(fm, reads, lengths, offsets, *, max_mismatches: int,
               max_hits=max_hits)
     if auto.active() is None:
         return _align_forward_rows_jit(fm, reads, lengths, offsets, **kw)
-    if auto.genome_sharded():
+    if auto.genome_sharded(fm):
         return auto.sharded_align_rows(reads, lengths, offsets, **kw)
     (rd, ln), B = auto.shard_rows(reads, lengths)
     out = _align_forward_rows_jit(auto.replicated(fm), rd, ln,

@@ -381,7 +381,6 @@ def compact_by_valid(valid, arrays, cap: int):
 
 
 @partial(jax.jit, static_argnames=("cap",))
-@partial(jax.jit, static_argnames=("cap",))
 def compact_windows(win: PairWindows, cap: int):
     arrays, valid, overflow = compact_by_valid(
         win.valid, [win.row, win.gl, win.gr, win.sup_start, win.sup_len], cap)
@@ -394,7 +393,6 @@ def compact_windows(win: PairWindows, cap: int):
 # indel discovery from adjacent segment-hit pairs
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cap",))
 @partial(jax.jit, static_argnames=("max_deletion", "max_insertion",
                                    "cap"))
 def build_indel_pairs(seg_pos, seg_mm, seg_valid, cuts, nseg,

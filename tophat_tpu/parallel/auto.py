@@ -84,10 +84,17 @@ def n_row_shards() -> int:
     return _MESH.shape[READS_AXIS]
 
 
-def genome_sharded() -> bool:
+def genome_sharded(fm=None) -> bool:
     """True when the FM index is range-sharded over the mesh's genome axis
-    (the production path routes FM-search stages through shard_fm then)."""
-    return _GSHARD is not None
+    (the production path routes FM-search stages through shard_fm then).
+
+    fm: when given, additionally require that it is the index the shards
+    were built from — auxiliary indexes (colorspace, fusion-post locals)
+    must fall through to the replicated path, not silently search the
+    base-genome shards."""
+    if _GSHARD is None:
+        return False
+    return fm is None or _GSHARD["src"] is fm
 
 
 def configure_genome_axis(fm, genome, max_read_len: int, log=None) -> None:
@@ -213,6 +220,14 @@ def replicated(obj):
     if len(_REPL) > 16:  # bound device memory pinned by the cache
         _REPL.pop(0)
     return dev
+
+
+def release(obj) -> None:
+    """Evict `obj` from the replication cache, dropping the strong device
+    ref so HBM frees once callers' copies die (throwaway indexes — e.g.
+    the colorspace transition index — must not stay pinned through the
+    subsequent base-space pipeline)."""
+    _REPL[:] = [(h, d) for h, d in _REPL if h is not obj]
 
 
 def shard_rows(*arrays):

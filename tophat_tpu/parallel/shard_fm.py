@@ -41,10 +41,13 @@ def build_sharded_fm(genome: Genome, n_shards: int, overlap: int,
     with PartitionSpec(GENOME_AXIS) on every leaf).
 
     Returns (stacked_fm, shard_starts). All slices pad to equal width;
-    padding is N (code 4), which never matches a read base — padding can
-    neither produce spurious hits nor crowd real hits out of the per-seed
-    hit budget (any hit that still starts past the owned width is dropped
-    by the ownership filter).
+    padding is N (code 4). Note build_fm_index maps N to A in the FM text,
+    so pad runs DO enter backward search as A-runs and can occupy per-seed
+    hit slots on A-rich reads in the last shard; they are rejected
+    afterwards — verification re-counts them as mismatches via n_mask, and
+    the ownership/contig filters drop anything starting past the owned
+    width — so padding never produces a spurious reported hit (it can only
+    cost hit-budget slots, like any other near-miss candidate).
     """
     codes = np.asarray(genome.codes)
     n = codes.shape[0]

@@ -31,9 +31,21 @@ from tophat_tpu.io.fastq import ReadBatch, batch_reads
 
 def color_genome(genome: Genome) -> Genome:
     """Color-space view of the concatenated genome: n-1 transition codes,
-    contig-boundary transitions masked to N."""
+    contig-boundary transitions masked to N.
+
+    Each interior boundary transition becomes its own singleton interval in
+    the offsets table: contig k owns colors [off[k], off[k+1]-1) only, so a
+    color alignment whose first/last color is the masked boundary
+    transition (code 4 — one mismatch, absorbable by the budget) fails
+    same_contig instead of decoding one base into the neighboring contig.
+    `names` intentionally keeps the base-space contig list: these offsets
+    feed only the same_contig filter, never contig naming."""
     ccodes = genome_to_color(np.asarray(genome.codes), genome.offsets)
-    offs = np.minimum(genome.offsets, len(ccodes)).astype(genome.offsets.dtype)
+    nc = len(ccodes)
+    interior = np.asarray(genome.offsets)[1:-1]
+    offs = np.unique(np.concatenate(
+        [[0], np.clip(interior - 1, 0, nc), np.clip(interior, 0, nc),
+         [nc]])).astype(genome.offsets.dtype)
     return Genome(codes=ccodes, offsets=offs, names=list(genome.names))
 
 
@@ -123,7 +135,11 @@ def run_pipeline_color(genome: Genome, records, params, out_dir,
     if records2 is not None:
         decoded2, _ = align_colors(cfm, coff, gbase, records2, params,
                                    log=log)
-    del cfm
+    from tophat_tpu.parallel import auto
+
+    auto.release(cfm)   # evict from the replication cache too — otherwise
+    auto.release(coff)  # the throwaway color index stays pinned in HBM
+    del cfm             # through the whole base-space pipeline below
     if decoded2 is not None:
         from tophat_tpu.pipeline.paired import run_pipeline_paired
 

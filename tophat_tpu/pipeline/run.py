@@ -576,14 +576,16 @@ def _mapped_chunk(fm_get, offsets, batch, params, log, genome=None,
     import pickle
 
     art = os.path.join(tmp_dir, f"{tag}.pkl") if tmp_dir else None
+    key = _chunk_key(batch, params) if art else None
     if resume and art and os.path.exists(art):
         try:
             with open(art, "rb") as f:
-                m, chunk_tables, size = pickle.load(f)
-            if size == batch.size:
+                m, chunk_tables, stored_key = pickle.load(f)
+            if stored_key == key:
                 m.batch = batch     # reads reload from the input files
                 log(f"[resume] {tag}: reusing mapped tables")
                 return m, chunk_tables
+            log(f"[resume] {tag}: input/params changed, remapping")
         except Exception:
             pass  # corrupt/stale artifact: redo the stage
     fm = fm_get() if callable(fm_get) else fm_get
@@ -610,14 +612,36 @@ def _mapped_chunk(fm_get, offsets, batch, params, log, genome=None,
     if m.gapped_events is not None:
         chunk_tables.append(m.gapped_events)
     if art:
+        batch_ref = m.batch
         try:
             os.makedirs(tmp_dir, exist_ok=True)
-            batch_ref = m.batch
             m.batch = None          # reads live in the input files
             with open(art, "wb") as f:
-                pickle.dump((m, chunk_tables, batch_ref.size), f,
+                pickle.dump((m, chunk_tables, key), f,
                             protocol=pickle.HIGHEST_PROTOCOL)
-            m.batch = batch_ref
         except OSError:
+            pass                    # artifact write is best-effort
+        finally:
             m.batch = batch_ref
     return m, chunk_tables
+
+
+def _chunk_key(batch, params) -> str:
+    """Content identity of a chunk's mapped-artifact: a digest of the reads
+    themselves (names + codes + lengths) and of every mapping-relevant
+    parameter. Swapping the input file for a different one with the same
+    read count, or changing alignment params, invalidates the artifact —
+    the role of the reference's original-argv replay + validation on -R
+    (src/tophat.py:240-266), keyed by content instead of path+mtime so
+    copied/moved inputs still resume."""
+    import dataclasses
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(repr(sorted(dataclasses.asdict(params).items())).encode())
+    h.update(np.ascontiguousarray(batch.codes).tobytes())
+    h.update(np.ascontiguousarray(batch.lengths).tobytes())
+    for n in batch.names:
+        h.update(n.encode() if isinstance(n, str) else bytes(n))
+        h.update(b"\0")
+    return h.hexdigest()
