@@ -1,0 +1,135 @@
+"""Half-split beam search (ops/beam.py): full same-half mismatch
+sensitivity for short segments, independent of genome size — the
+double-index strategy of the engine the reference shells out to
+(bowtie1 -v mode, src/tophat.py:2339-2344)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bfm():
+    from tophat_tpu.index.fm import build_fm_index
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, 200_000).astype(np.int8)
+    fm = build_fm_index(codes, kmer_k=8, mirror=True)
+    return fm, codes
+
+
+def _brute(codes, seg, max_mm):
+    """All placements of seg with <= max_mm mismatches (N never matches)."""
+    L = len(seg)
+    n = len(codes)
+    windows = np.lib.stride_tricks.sliding_window_view(codes, L)
+    mm = (windows != seg[None, :]).sum(axis=1)
+    return {int(p): int(mm[p]) for p in np.nonzero(mm <= max_mm)[0]}
+
+
+def _hits(fm, codes, segs, max_mm=2, max_hits=16):
+    from tophat_tpu.ops.beam import beam_align_rows
+
+    rows = np.full((len(segs), max(len(s) for s in segs)), -1, np.int8)
+    lens = np.zeros(len(segs), np.int32)
+    for i, s in enumerate(segs):
+        rows[i, :len(s)] = s
+        lens[i] = len(s)
+    offsets = np.array([0, len(codes)], np.int32)
+    pos, mm, valid, n_hits, trunc = beam_align_rows(
+        fm, rows, lens, offsets, max_mismatches=max_mm, max_hits=max_hits)
+    return (np.asarray(pos), np.asarray(mm), np.asarray(valid),
+            np.asarray(n_hits), np.asarray(trunc))
+
+
+def test_exact_and_same_half_mismatches(bfm):
+    fm, codes = bfm
+    rng = np.random.default_rng(5)
+    segs = []
+    truths = []
+    for trial in range(40):
+        p = int(rng.integers(100, len(codes) - 100))
+        seg = codes[p:p + 25].copy()
+        h = 12
+        kind = trial % 4
+        if kind == 1:      # 2 mismatches in the prefix half
+            for q in rng.choice(h, 2, replace=False):
+                seg[q] = (seg[q] + 1) % 4
+        elif kind == 2:    # 2 mismatches in the suffix half
+            for q in rng.choice(np.arange(h, 25), 2, replace=False):
+                seg[q] = (seg[q] + 1) % 4
+        elif kind == 3:    # 1 mismatch anywhere
+            q = int(rng.integers(0, 25))
+            seg[q] = (seg[q] + 2) % 4
+        segs.append(seg)
+        truths.append((p, _brute(codes, seg, 2)))
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, segs)
+    for i, (p, truth) in enumerate(truths):
+        got = {int(pos[i, j]): int(mm[i, j])
+               for j in np.nonzero(valid[i])[0]}
+        assert p in got, f"seg {i}: planted position {p} missed ({got})"
+        # every reported hit is genuine and correctly scored
+        for gp, gm in got.items():
+            assert gp in truth and truth[gp] == gm, \
+                f"seg {i}: spurious/mis-scored hit {gp}:{gm}"
+        # full sensitivity for same-half placements: everything brute
+        # force finds with mismatches confined to one half must appear
+        for tp, tm in truth.items():
+            d = (codes[tp:tp + 25] != segs[i])
+            if d[:12].any() and d[12:].any():
+                continue  # split-pair case: documented out of scope
+            if not trunc[i]:
+                assert tp in got, f"seg {i}: same-half hit {tp} missed"
+
+
+def test_n_bases_count_as_mismatches(bfm):
+    fm, codes = bfm
+    p = 5000
+    seg = codes[p:p + 24].copy()
+    seg[3] = 4   # N in the prefix half
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, [seg])
+    got = {int(pos[0, j]): int(mm[0, j]) for j in np.nonzero(valid[0])[0]}
+    assert got.get(p) == 1
+    seg2 = codes[p:p + 24].copy()
+    seg2[20] = 4  # N in the suffix half
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, [seg2])
+    got = {int(pos[0, j]): int(mm[0, j]) for j in np.nonzero(valid[0])[0]}
+    assert got.get(p) == 1
+
+
+def test_variable_lengths_and_short_rows(bfm):
+    fm, codes = bfm
+    segs = [codes[100:100 + 25], codes[777:777 + 13],
+            codes[900:904]]      # last is below MIN_BEAM_LEN
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, segs)
+    got0 = {int(pos[0, j]) for j in np.nonzero(valid[0])[0]}
+    got1 = {int(pos[1, j]) for j in np.nonzero(valid[1])[0]}
+    assert 100 in got0 and 777 in got1
+    assert not valid[2].any()    # too short for the half-split
+
+
+def test_matches_pigeonhole_on_small_genome(bfm):
+    """On a small genome the pigeonhole path is exact — beam must agree
+    for same-half reads (here: clean error-free segments)."""
+    from tophat_tpu.ops.align import align_forward_rows
+
+    fm, codes = bfm
+    rng = np.random.default_rng(9)
+    segs = [codes[int(rng.integers(0, len(codes) - 25)):][:25].copy()
+            for _ in range(16)]
+    rows = np.stack(segs).astype(np.int8)
+    lens = np.full(16, 25, np.int32)
+    offsets = np.array([0, len(codes)], np.int32)
+    ppos, pmm, pvalid, pn, ptr = align_forward_rows(
+        fm, rows, lens, offsets, max_mismatches=2, hits_per_seed=512,
+        max_hits=16)
+    bpos, bmm, bvalid, bn, btr = _hits(fm, codes, segs)
+    for i in range(16):
+        a = {int(p) for p, v in zip(np.asarray(ppos)[i],
+                                    np.asarray(pvalid)[i]) if v}
+        b = {int(p) for p, v in zip(bpos[i], bvalid[i]) if v}
+        # beam may additionally find split-pair-excluded?? no: beam is the
+        # subset on split pairs; for 0-mm planted segments both see the
+        # planted position; compare intersection containment
+        assert a & b, f"row {i}: no common hits ({a} vs {b})"
+        assert b <= {int(p) for p, m in
+                     _brute(codes, segs[i], 2).items()} | set()

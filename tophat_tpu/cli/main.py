@@ -234,14 +234,16 @@ def load_known_events(genome, ins_path, del_path, juncs_path):
 
 
 def _index_design_point(big: bool):
-    """(kmer_k, sa_rate) for in-process index builds. Defaults: k=13 seed
-    table + 1/4-sampled SA beyond 256 Mbp (conservative HBM footprint;
-    PERF.md's sweep shows k=14/sa_rate=2 is ~26% faster at 1 Gbp when the
-    extra ~2.5 GiB HBM is available). Overridable with
-    $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE."""
+    """(kmer_k, sa_rate, mirror) for in-process index builds. Defaults:
+    k=13 seed table + 1/4-sampled SA beyond 256 Mbp (conservative HBM
+    footprint; PERF.md's sweep shows k=14/sa_rate=2 is ~26% faster at
+    1 Gbp when the extra ~2.5 GiB HBM is available) + mirror tables for
+    the segment beam search (ops/beam.py). Overridable with
+    $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE / $TOPHAT_TPU_MIRROR."""
     kk = int(os.environ.get("TOPHAT_TPU_KMER_K", 13 if big else 0))
     sr = int(os.environ.get("TOPHAT_TPU_SA_RATE", 4 if big else 0))
-    return kk, sr
+    mir = bool(int(os.environ.get("TOPHAT_TPU_MIRROR", 1 if big else 0)))
+    return kk, sr, mir
 
 
 def main(argv=None, resume=False):
@@ -351,9 +353,9 @@ def main(argv=None, resume=False):
             cache_prefix = cand if os.access(os.path.dirname(cand) or ".",
                                              os.W_OK) else None
         big = genome.n > (1 << 28)
-        kk, sr = _index_design_point(big)
+        kk, sr, mir = _index_design_point(big)
         gfm = build_grouped_fm(genome, max_bases=max_index_bases,
-                               kmer_k=kk, sa_rate=sr,
+                               kmer_k=kk, sa_rate=sr, mirror=mir,
                                cache_prefix=cache_prefix, log=logger.log)
         logger.log(f"genome partitioned into {gfm.n_groups} contig groups")
     elif args.tt_index:
@@ -369,8 +371,8 @@ def main(argv=None, resume=False):
             logger.log(f"genome FM index: reusing {path}")
         else:
             big = genome.n > (1 << 28)
-            kk, sr = _index_design_point(big)
-            fm = build_fm_index(genome, kmer_k=kk, sa_rate=sr)
+            kk, sr, mir = _index_design_point(big)
+            fm = build_fm_index(genome, kmer_k=kk, sa_rate=sr, mirror=mir)
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
@@ -476,10 +478,7 @@ def main(argv=None, resume=False):
                            log=logger.log)
         logger.stage("alldone")
         return 0
-    if gfm is not None:
-        if args.reads2:
-            raise SystemExit("Error: paired-end input with a contig-group "
-                             "partitioned genome is not supported yet")
+    if gfm is not None and not args.reads2:
         from tophat_tpu.pipeline.grouped import run_pipeline_grouped
 
         batch = load_reads(files1, params.quals_scale)
@@ -497,7 +496,7 @@ def main(argv=None, resume=False):
         it2 = iter_read_batches(args.reads2.split(","), params.quals_scale,
                                 params.batch_size)
         run_pipeline_paired_streaming(
-            genome, zip(it1, it2), params, out_dir, fm=fm,
+            genome, zip(it1, it2), params, out_dir, fm=fm, gfm=gfm,
             known_events=known, gtf_accept=gtf_accept, trans=trans,
             log=logger.log)
     else:

@@ -187,6 +187,143 @@ def encode_record(rec: BamRecord) -> bytes:
     return struct.pack("<i", len(body)) + body
 
 
+def _ragged_index(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat indices covering [starts[i], starts[i]+lengths[i]) for every i,
+    concatenated in order — the gather/scatter pattern for variable-length
+    record sections. One cumsum over a delta array (no np.repeat): out is
+    +1 within a record and jumps to the next start at each boundary."""
+    lengths = np.asarray(lengths, np.int64)
+    nz = lengths > 0
+    s = np.asarray(starts, np.int64)[nz]
+    l = lengths[nz]
+    if len(l) == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(l)
+    out = np.ones(int(ends[-1]), np.int64)
+    out[0] = s[0]
+    if len(s) > 1:
+        out[ends[:-1]] = s[1:] - s[:-1] - l[:-1] + 1
+    return np.cumsum(out)
+
+
+def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin (same scheme as reg2bin above)."""
+    beg = beg.astype(np.int64)
+    end = end.astype(np.int64) - 1
+    out = np.zeros(len(beg), np.int64)
+    done = (beg >= 1 << 29) | (end >= 1 << 29)  # pseudo-bin 0
+    for shift, base in ((14, ((1 << 15) - 1) // 7),
+                        (17, ((1 << 12) - 1) // 7),
+                        (20, ((1 << 9) - 1) // 7),
+                        (23, ((1 << 6) - 1) // 7),
+                        (26, ((1 << 3) - 1) // 7)):
+        hit = ~done & ((beg >> shift) == (end >> shift))
+        out[hit] = base + (beg[hit] >> shift)
+        done |= hit
+    return out.astype(np.uint16)
+
+
+_PREFIX_DT = np.dtype([
+    ("block_size", "<i4"), ("ref_id", "<i4"), ("pos", "<i4"),
+    ("l_rn", "u1"), ("mapq", "u1"), ("bin", "<u2"), ("n_cig", "<u2"),
+    ("flag", "<u2"), ("l_seq", "<i4"), ("ref_id2", "<i4"),
+    ("pos2", "<i4"), ("tlen", "<i4")])
+
+# ASCII base byte -> BAM 4-bit code (vector form of _SEQ_ENC_LUT)
+_ASCII_TO_4BIT = _SEQ_ENC_LUT
+
+
+def encode_records_columns(names, flag, ref_id, pos, end, mapq,
+                           cigar_flat, n_cig, seq_list, qual_list,
+                           no_qual, tag_list) -> bytes:
+    """Columnar BAM record encoder: the whole record blob is assembled with
+    numpy ragged scatters instead of per-record struct.pack calls —
+    replaces a ~50 us/record Python loop with ~1 us/record array work (the
+    batched-encode ask of the round-3 review; role of samtools bam_write1,
+    reference src/samtools-0.1.18/bam.c).
+
+    names:      list[bytes] query names (no NUL)
+    flag/ref_id/pos/mapq:  int arrays (N,)
+    end:        pos + reference span (for the BAI bin)
+    cigar_flat: uint32 array of packed cigar ops, record-major
+    n_cig:      int array (N,) ops per record
+    seq_list:   list[bytes] ASCII sequences in stored orientation (b"" for
+                none) — 4-bit packing happens here
+    qual_list:  list[bytes] phred33 ASCII quals, same lengths as seq_list
+                (content ignored where no_qual)
+    no_qual:    bool array (N,) — emit 0xFF fill (SAM "*")
+    tag_list:   list[bytes] pre-encoded tag blocks
+    """
+    n = len(names)
+    if n == 0:
+        return b""
+    names_join = b"\x00".join(names) + b"\x00"
+    name_len = np.fromiter((len(b) + 1 for b in names), np.int64, n)
+    tags_join = b"".join(tag_list)
+    tag_len = np.fromiter((len(b) for b in tag_list), np.int64, n)
+    seq_join = b"".join(seq_list)
+    l_seq = np.fromiter((len(b) for b in seq_list), np.int64, n)
+    qual_join = b"".join(qual_list)
+    n_cig = np.asarray(n_cig, np.int64)
+
+    seq4_len = (l_seq + 1) // 2
+    body_len = 32 + name_len + 4 * n_cig + seq4_len + l_seq + tag_len
+    rec_len = 4 + body_len
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(rec_len, out=off[1:])
+    big = np.zeros(int(off[-1]), np.uint8)
+
+    pre = np.zeros(n, dtype=_PREFIX_DT)
+    pre["block_size"] = body_len
+    pre["ref_id"] = np.asarray(ref_id, np.int64)
+    pre["pos"] = np.asarray(pos, np.int64)
+    pre["l_rn"] = name_len
+    pre["mapq"] = np.asarray(mapq, np.int64)
+    pre["bin"] = reg2bin_vec(np.asarray(pos), np.asarray(end))
+    pre["n_cig"] = n_cig
+    pre["flag"] = np.asarray(flag, np.int64)
+    pre["l_seq"] = l_seq
+    pre["ref_id2"] = -1
+    pre["pos2"] = -1
+    pre["tlen"] = 0
+    big[off[:-1, None] + np.arange(36)] = \
+        pre.view(np.uint8).reshape(n, 36)
+
+    cur = off[:-1] + 36
+    src = np.frombuffer(names_join, np.uint8)
+    big[_ragged_index(cur, name_len)] = src  # names are contiguous in src
+    cur = cur + name_len
+
+    if len(cigar_flat):
+        cig_u8 = np.asarray(cigar_flat, "<u4").view(np.uint8)
+        big[_ragged_index(cur, 4 * n_cig)] = cig_u8
+    cur = cur + 4 * n_cig
+
+    # 4-bit packed SEQ: per-record odd lengths pad with 0 — expand each
+    # record's codes into a 2*seq4_len staging area, then pack pairs
+    if len(seq_join):
+        codes = _ASCII_TO_4BIT[np.frombuffer(seq_join, np.uint8)]
+        stage = np.zeros(int(seq4_len.sum()) * 2, np.uint8)
+        stage[_ragged_index(2 * np.cumsum(seq4_len) - 2 * seq4_len,
+                            l_seq)] = codes
+        packed = (stage[0::2] << 4) | stage[1::2]
+        big[_ragged_index(cur, seq4_len)] = packed
+    cur = cur + seq4_len
+
+    if len(qual_join):
+        q = np.frombuffer(qual_join, np.uint8) - np.uint8(33)
+        big[_ragged_index(cur, l_seq)] = q
+        nq = np.asarray(no_qual, bool)
+        if nq.any():
+            big[_ragged_index(cur[nq], l_seq[nq])] = 0xFF
+    cur = cur + l_seq
+
+    if len(tags_join):
+        big[_ragged_index(cur, tag_len)] = np.frombuffer(tags_join,
+                                                         np.uint8)
+    return big.tobytes()
+
+
 def decode_record(buf: bytes, off: int) -> Tuple[BamRecord, int]:
     (block_size,) = struct.unpack_from("<i", buf, off)
     p = off + 4
@@ -270,6 +407,10 @@ class BamWriter:
 
     def write(self, rec: BamRecord) -> None:
         self.buf += encode_record(rec)
+
+    def write_encoded(self, blob: bytes) -> None:
+        """Append pre-encoded record bytes (encode_records_columns)."""
+        self.buf += blob
 
     def close(self) -> None:
         from tophat_tpu.native import bgzf as native_bgzf

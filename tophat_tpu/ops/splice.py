@@ -177,7 +177,10 @@ def _window_sharded(scan_jit, genome, readsg, win, sup_max):
     win_d, W = auto.shard_pytree_rows(win)
     out = scan_jit(auto.replicated(genome), auto.replicated(readsg),
                    win_d, sup_max)
-    return tuple(a[:W] for a in out)
+    # host-gather at the merge point: slicing a mesh-sharded array and
+    # feeding it to a replicated jit forces a cross-device reshard that is
+    # pathologically slow on the virtual CPU mesh
+    return tuple(np.asarray(a)[:W] for a in out)
 
 
 @partial(jax.jit, static_argnames=("sup_max",))
@@ -256,6 +259,20 @@ def _scan_windows_jit(genome, readsg, win: PairWindows, sup_max: int):
 
 def scan_windows(genome, readsg, win: PairWindows, sup_max: int):
     return _window_sharded(_scan_windows_jit, genome, readsg, win, sup_max)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_scan_hits(left, right, rev, valid, win_row, cap: int):
+    """Device-compact the (W, sup_max) scan grids to flat (cap,) hit lists
+    (left, right, rev, row, count, overflow) so only kilobytes cross the
+    host boundary instead of the full grids."""
+    W, T = valid.shape
+    rows = jnp.broadcast_to(win_row[:, None], (W, T))
+    (l, r, v, rw), cvalid, ovf = compact_by_valid(
+        valid.reshape(-1),
+        [left.reshape(-1), right.reshape(-1), rev.reshape(-1),
+         rows.reshape(-1)], cap)
+    return l, r, v, rw, cvalid.sum(), ovf
 
 
 def _fusion_pairs_for_offset(seg_pos, seg_valid, cuts, nseg, lengths,
@@ -373,11 +390,31 @@ def scan_fusion_windows(genome, readsg, win: PairWindows, sup_max: int):
 
 def compact_by_valid(valid, arrays, cap: int):
     """Stable-partition `arrays` so valid rows come first; keep `cap` rows.
-    Returns (compacted_arrays, compacted_valid, overflowed)."""
-    order = jnp.argsort(~valid, stable=True)[:cap]
-    out = [jnp.take(a, order, axis=0) for a in arrays]
-    nvalid = valid.sum()
-    return out, jnp.take(valid, order), nvalid > cap
+    Returns (compacted_arrays, compacted_valid, overflowed).
+
+    Cumsum + searchsorted-gather instead of argsort: a stable argsort over
+    the flat window table (tens of millions of lanes) is a multi-pass
+    bitonic sort on TPU; instead, slot k of the output is element
+    searchsorted(cumsum(valid), k+1) — cap*log(n) binary-search work plus
+    plain gathers, fast on both TPU and the CPU test backend (where a
+    33M-lane scatter lowers to a serial loop)."""
+    valid = valid.reshape(-1)
+    if valid.shape[0] == 0:
+        out = [jnp.zeros((cap,) + a.shape[1:], a.dtype) for a in arrays]
+        return out, jnp.zeros(cap, bool), jnp.asarray(False)
+    csum = jnp.cumsum(valid.astype(jnp.int32))
+    nvalid = csum[-1]
+    src = jnp.searchsorted(csum, jnp.arange(1, cap + 1, dtype=jnp.int32))
+    src = jnp.minimum(src, valid.shape[0] - 1)
+    cvalid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(nvalid, cap)
+    out = []
+    for a in arrays:
+        a = a.reshape(valid.shape[0], *a.shape[1:])
+        g = a[src]
+        zero = jnp.zeros((), a.dtype)
+        mask = cvalid.reshape((cap,) + (1,) * (a.ndim - 1))
+        out.append(jnp.where(mask, g, zero))
+    return out, cvalid, nvalid > cap
 
 
 @partial(jax.jit, static_argnames=("cap",))

@@ -90,22 +90,38 @@ def _merge_event_tables(group_events: List[dict], bases) -> dict:
     return out
 
 
-def pipeline_core_grouped(genome: Genome, batches, params: Params,
-                          gfm: GroupedFM, known_events=None,
-                          gtf_accept=None, trans=None, log=print):
-    """Grouped analog of pipeline_core: returns (mates, events, stats,
-    accepted, gfm) where each MateState carries the MERGED global-coordinate
-    candidate dict and `events` is the merged int64 event table."""
-    from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
-    from tophat_tpu.pipeline.juncs import discover_events, merge_events
-    from tophat_tpu.pipeline.report import (accumulate_event_stats,
-                                            filter_junctions)
+class GroupedMapper:
+    """Chunk-capable grouped mapping engine: the per-batch half of the
+    grouped pipeline factored so both the single-chunk grouped driver
+    (pipeline_core_grouped) and the CHUNKED paired pipeline
+    (pipeline/paired.py with a contig-group index — the whole-genome
+    paired-end operating point, reference src/tophat.py:3428 with an
+    hg-scale index) share one implementation.
 
-    G = gfm.n_groups
-    mates: List[MateState] = []
-    per_group: List[List[MateState]] = []   # [mate][group]
+    Protocol (mirrored by paired.SingleIndexMapper):
+      map_chunk_mate(batch, side) -> MateState   (global coords pending)
+      finalize_events(known)      -> global int64 event table
+      fill_candidates(m, paired)  -> sets m.cands in global coordinates
+    """
 
-    for batch in batches:
+    def __init__(self, gfm: GroupedFM, genome: Genome, params: Params,
+                 trans=None, log=print):
+        self.gfm = gfm
+        self.genome = genome
+        self.params = params
+        self.trans = trans
+        self.log = log
+        self.group_tables: List[List[dict]] = [[] for _ in
+                                               range(gfm.n_groups)]
+        self.group_events: Optional[List[dict]] = None
+        self.group_eoff = None
+
+    def map_chunk_mate(self, batch, side: int) -> MateState:
+        gfm, params, log = self.gfm, self.params, self.log
+        G = gfm.n_groups
+        from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
+        from tophat_tpu.pipeline.juncs import discover_events
+
         keep, prep_stats = prep_filter(batch)
         reads_f = batch.codes
         reads_r = revcomp_rows(batch.codes, batch.lengths)
@@ -113,12 +129,12 @@ def pipeline_core_grouped(genome: Genome, batches, params: Params,
 
         trans_hits = None
         has_t = np.zeros(batch.size, bool)
-        if trans is not None and trans.n:
+        if self.trans is not None and self.trans.n:
             from tophat_tpu.pipeline.transcriptome import \
                 map_reads_transcriptome
 
-            trans_hits = map_reads_transcriptome(trans, genome, reads_f,
-                                                 reads_r, lengths, params)
+            trans_hits = map_reads_transcriptome(
+                self.trans, self.genome, reads_f, reads_r, lengths, params)
             for r in trans_hits:
                 has_t[r] = True
             log(f"transcriptome map: {int(has_t.sum())} reads placed")
@@ -159,68 +175,64 @@ def pipeline_core_grouped(genome: Genome, batches, params: Params,
                                n_hits=np.where(keep, np.asarray(al.n_hits),
                                                0),
                                truncated=np.asarray(al.truncated)),
-                gs=None, prep_stats=prep_stats,
-                trans_hits=trans_hits if g == 0 else None)
+                gs=None, prep_stats=prep_stats, trans_hits=None)
             _spliced_mate(gfm.fms[g],
                           gfm.sub_genomes[g].offsets.astype(np.int32),
                           m, params, log, ium, reads_f, reads_r, lengths)
             gmates.append(m)
-        per_group.append(gmates)
-
-        mate = MateState(batch=batch, keep=keep, aln=gmates[0].aln,
-                         gs=gmates[0].gs, prep_stats=prep_stats,
-                         trans_hits=trans_hits)
-        mates.append(mate)
-
-    # joint discovery: per group, the event tables of ALL mates merge (the
-    # single-index path merges discovery across mates before realignment)
-    group_events: List[dict] = []
-    for g in range(G):
-        base = int(gfm.bases[g])
-        length = gfm.sub_genomes[g].n
-        fm = gfm.fms[g]
-        offsets = gfm.sub_genomes[g].offsets.astype(np.int32)
-        tables = []
-        for mi, gmates in enumerate(per_group):
-            m = gmates[g]
-            tables.append(discover_events(fm, offsets, m.gs, params,
-                                          seg_tables=m.seg_tables,
-                                          log=None, read_side=mi))
+            self.group_tables[g].append(discover_events(
+                gfm.fms[g], gfm.sub_genomes[g].offsets.astype(np.int32),
+                m.gs, params, seg_tables=m.seg_tables, log=None,
+                read_side=side))
             if params.coverage_search and m.seg_tables is not None:
                 from tophat_tpu.pipeline.coverage import \
                     coverage_search_events
 
-                tables.append(coverage_search_events(
-                    fm, gfm.sub_genomes[g], m.gs, m.seg_tables, params))
+                self.group_tables[g].append(coverage_search_events(
+                    gfm.fms[g], gfm.sub_genomes[g], m.gs, m.seg_tables,
+                    params))
             if m.gapped_events is not None:
-                tables.append(m.gapped_events)
-        sliced = _slice_known_events(known_events, base, length)
-        if sliced is not None:
-            tables.append(sliced)
-        group_events.append(merge_events(*tables))
+                self.group_tables[g].append(m.gapped_events)
 
-    group_eoff = np.concatenate(
-        [[0], np.cumsum([len(e["left"]) for e in group_events])])
-    events = _merge_event_tables(group_events,
-                                 [int(b) for b in gfm.bases])
+        mate = MateState(batch=batch, keep=keep, aln=gmates[0].aln,
+                         gs=gmates[0].gs, prep_stats=prep_stats,
+                         trans_hits=trans_hits)
+        mate.gmates = gmates
+        return mate
 
-    # candidates per group (local coords), chains deferred, then rebase +
-    # merge to global coordinates / global event indices
-    for mi, gmates in enumerate(per_group):
+    def finalize_events(self, known_events=None) -> dict:
+        from tophat_tpu.pipeline.juncs import empty_events, merge_events
+
+        gfm = self.gfm
+        group_events: List[dict] = []
+        for g in range(gfm.n_groups):
+            tables = list(self.group_tables[g])
+            sliced = _slice_known_events(known_events, int(gfm.bases[g]),
+                                         gfm.sub_genomes[g].n)
+            if sliced is not None:
+                tables.append(sliced)
+            group_events.append(merge_events(*tables) if tables
+                                else empty_events())
+        self.group_events = group_events
+        self.group_eoff = np.concatenate(
+            [[0], np.cumsum([len(e["left"]) for e in group_events])])
+        return _merge_event_tables(group_events,
+                                   [int(b) for b in gfm.bases])
+
+    def fill_candidates(self, mate: MateState, events,
+                        paired: bool = False) -> None:
+        gfm, params, log = self.gfm, self.params, self.log
         merged: Dict[int, list] = {}
-        for g, m in enumerate(gmates):
-            m.trans_hits = None  # handled globally below
-            candidates_for_mate(gfm.fms[g], m, group_events[g], params,
-                                log, paired=len(per_group) > 1,
+        for g, m in enumerate(mate.gmates):
+            candidates_for_mate(gfm.fms[g], m, self.group_events[g],
+                                params, log, paired=paired,
                                 chain_default=False)
             _rebase_candidates(m.cands, int(gfm.bases[g]),
-                               int(group_eoff[g]))
+                               int(self.group_eoff[g]))
             for r, lst in m.cands.items():
                 merged.setdefault(r, []).extend(lst)
-        mates[mi].cands = merged
+        mate.cands = merged
 
-    # transcriptome-mapped reads: global-coordinate overwrite
-    for mate in mates:
         if mate.trans_hits:
             from tophat_tpu.pipeline.transcriptome import \
                 transcriptome_candidates
@@ -229,24 +241,38 @@ def pipeline_core_grouped(genome: Genome, batches, params: Params,
                                                    params).items():
                 mate.cands[r] = lst
 
-    # default chains with the GLOBAL resolved set (per group, local events)
-    if not params.fusion_search:
-        for mi, gmates in enumerate(per_group):
-            resolved = {r for r, cl in mates[mi].cands.items() if cl}
-            for g, m in enumerate(gmates):
+        if not params.fusion_search:
+            resolved = {r for r, cl in mate.cands.items() if cl}
+            for g, m in enumerate(mate.gmates):
                 n0 = {r: len(cl) for r, cl in m.cands.items()}
-                default_chains(gfm.fms[g], m, group_events[g], params,
-                               log, resolved=resolved)
-                # rebase + merge only the newly added chain candidates
+                default_chains(gfm.fms[g], m, self.group_events[g],
+                               params, log, resolved=resolved)
                 new: Dict[int, list] = {}
                 for r, cl in m.cands.items():
                     fresh = cl[n0.get(r, 0):]
                     if fresh:
                         new[r] = fresh
                 _rebase_candidates(new, int(gfm.bases[g]),
-                                   int(group_eoff[g]))
+                                   int(self.group_eoff[g]))
                 for r, lst in new.items():
-                    mates[mi].cands.setdefault(r, []).extend(lst)
+                    mate.cands.setdefault(r, []).extend(lst)
+
+
+def pipeline_core_grouped(genome: Genome, batches, params: Params,
+                          gfm: GroupedFM, known_events=None,
+                          gtf_accept=None, trans=None, log=print):
+    """Grouped analog of pipeline_core: returns (mates, events, stats,
+    accepted, gfm) where each MateState carries the MERGED global-coordinate
+    candidate dict and `events` is the merged int64 event table."""
+    from tophat_tpu.pipeline.report import (accumulate_event_stats,
+                                            filter_junctions)
+
+    mapper = GroupedMapper(gfm, genome, params, trans=trans, log=log)
+    mates = [mapper.map_chunk_mate(b, side)
+             for side, b in enumerate(batches)]
+    events = mapper.finalize_events(known_events)
+    for mate in mates:
+        mapper.fill_candidates(mate, events, paired=len(batches) > 1)
 
     # pass 1: stats + acceptance on the merged global structures
     stats: Dict[int, object] = {}

@@ -18,9 +18,9 @@ from tophat_tpu.ops.events import MAX_INS
 from tophat_tpu.ops.splice import (KIND_DELETION, KIND_FUSION,
                                    KIND_INSERTION, KIND_JUNCTION,
                                    build_fusion_windows, build_indel_pairs,
-                                   build_pair_windows, compact_windows,
-                                   scan_fusion_windows, scan_indel_pairs,
-                                   scan_windows)
+                                   build_pair_windows, compact_scan_hits,
+                                   compact_windows, scan_fusion_windows,
+                                   scan_indel_pairs, scan_windows)
 from tophat_tpu.pipeline.segment import GenomeSpaceReads, map_segments
 
 MAX_WINDOWS = 32768
@@ -103,18 +103,19 @@ def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
     win, w_ovf = compact_windows(win, MAX_WINDOWS)
     sup_max = int(np.max(gs.cuts[:, 1:] - gs.cuts[:, :-1])) + 16 + 1
     jl, jr, jrev, jvalid = scan_windows(fm.genome, readsg, win, sup_max)
-
-    jvalid_np = np.asarray(jvalid)
+    cl, cr, crev, crow, ccnt, covf = compact_scan_hits(
+        jnp.asarray(jl), jnp.asarray(jr), jnp.asarray(jrev),
+        jnp.asarray(jvalid), jnp.asarray(win.row), MAX_WINDOWS)
+    cnt = int(ccnt)
+    if bool(covf) and log:
+        log(f"warning: junction scan hits overflowed {MAX_WINDOWS} slots")
+    jl = np.asarray(cl)[:cnt]
+    jr = np.asarray(cr)[:cnt]
+    jrev = np.asarray(crev)[:cnt].astype(bool)
     if params.library_type != "fr-unstranded":
-        row_strand = gs.strand[np.asarray(win.row)]           # (W,)
-        keep_dir = _library_type_keep(
-            params, np.broadcast_to(row_strand[:, None],
-                                    jvalid_np.shape),
-            np.asarray(jrev), read_side)
-        jvalid_np = jvalid_np & keep_dir
-    jl = np.asarray(jl)[jvalid_np]
-    jr = np.asarray(jr)[jvalid_np]
-    jrev = np.asarray(jrev)[jvalid_np]
+        row_strand = gs.strand[np.asarray(crow)[:cnt]]
+        keep_dir = _library_type_keep(params, row_strand, jrev, read_side)
+        jl, jr, jrev = jl[keep_dir], jr[keep_dir], jrev[keep_dir]
     juncs = dict(left=jl.astype(np.int32), right=jr.astype(np.int32),
                  kind=np.full(len(jl), KIND_JUNCTION, np.int8),
                  antisense=jrev.astype(bool),

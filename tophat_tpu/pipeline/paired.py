@@ -104,42 +104,110 @@ def _grade_key():
         else (1 if _grade_less(y[0], x[0]) else 0))
 
 
+class SingleIndexMapper:
+    """Chunk mapping engine for the single-index paired pipeline —
+    protocol shared with pipeline/grouped.GroupedMapper so the paired
+    driver runs unchanged over either a whole-genome single index or a
+    contig-group index."""
+
+    def __init__(self, fm, genome, params, trans=None, log=print):
+        self.fm = fm
+        self.genome = genome
+        self.params = params
+        self.trans = trans
+        self.log = log
+        self.tables = []
+
+    def map_chunk_mate(self, batch, side: int):
+        from tophat_tpu.pipeline.juncs import discover_events
+        from tophat_tpu.pipeline.run import _map_mate
+
+        fm, params, genome = self.fm, self.params, self.genome
+        offsets = genome.offsets.astype(np.int32)
+        m = _map_mate(fm, offsets, batch, params, self.log, genome=genome,
+                      trans=self.trans)
+        self.tables.append(discover_events(fm, offsets, m.gs, params,
+                                           seg_tables=m.seg_tables,
+                                           log=None, read_side=side))
+        if params.coverage_search and m.seg_tables is not None:
+            from tophat_tpu.pipeline.coverage import coverage_search_events
+
+            self.tables.append(coverage_search_events(
+                fm, genome, m.gs, m.seg_tables, params))
+        if ((params.butterfly_search or params.microexon_search)
+                and m.seg_tables is not None):
+            from tophat_tpu.pipeline.butterfly import (
+                butterfly_search_events, microexon_events)
+
+            if params.butterfly_search:
+                self.tables.append(butterfly_search_events(
+                    fm, genome, m.gs, m.seg_tables, params))
+            if params.microexon_search:
+                self.tables.append(microexon_events(
+                    fm, genome, m.gs, m.seg_tables, params))
+        if m.gapped_events is not None:
+            self.tables.append(m.gapped_events)
+        return m
+
+    def finalize_events(self, known_events=None):
+        from tophat_tpu.pipeline.juncs import merge_events
+
+        tables = list(self.tables)
+        if known_events is not None:
+            tables.append(known_events)
+        return merge_events(*tables)
+
+    def fill_candidates(self, m, events, paired: bool = True) -> None:
+        from tophat_tpu.pipeline.run import candidates_for_mate
+
+        candidates_for_mate(self.fm, m, events, self.params, self.log,
+                            paired=paired)
+
+
 def run_pipeline_paired(genome: Genome, batch1, batch2, params, out_dir,
                         fm=None, known_events=None, gtf_accept=None,
-                        trans=None, log=print):
+                        trans=None, log=print, gfm=None):
     """Single-chunk paired run (both mates fit one device batch)."""
     return run_pipeline_paired_streaming(
         genome, iter([(batch1, batch2)]), params, out_dir, fm=fm,
         known_events=known_events, gtf_accept=gtf_accept, trans=trans,
-        log=log)
+        log=log, gfm=gfm)
 
 
 def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
                                   out_dir, fm=None, known_events=None,
-                                  gtf_accept=None, trans=None, log=print):
+                                  gtf_accept=None, trans=None, log=print,
+                                  gfm=None):
     """Chunked paired-end pipeline: mate pairs stream through fixed-size
     chunk pairs (same read count per mate — reads pair by line number), a
     global event union feeds per-chunk realignment, and pair selection /
     rescue runs chunk-locally since mates share indices within a chunk.
     The chunk axis plays the reference's per-thread read-ID-range role
     (SURVEY.md §2.5); one chunk reproduces the old single-batch output
-    byte-for-byte."""
+    byte-for-byte.
+
+    gfm: a contig-group index (index/grouped.GroupedFM) routes mapping and
+    candidate assembly through pipeline/grouped.GroupedMapper — the
+    whole-genome (>2.1 Gbp) paired-end path."""
     from tophat_tpu.index.fm import build_fm_index
-    from tophat_tpu.pipeline.juncs import discover_events, merge_events
     from tophat_tpu.pipeline.report import (accumulate_event_stats,
                                             filter_junctions)
-    from tophat_tpu.pipeline.run import (_map_mate, candidates_for_mate,
-                                         merge_stats)
+    from tophat_tpu.pipeline.run import merge_stats
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    if fm is None:
-        log("Building FM index...")
-        fm = build_fm_index(genome)
-    offsets = genome.offsets.astype(np.int32)
+    if gfm is not None:
+        from tophat_tpu.pipeline.grouped import GroupedMapper
+
+        mapper = GroupedMapper(gfm, genome, params, trans=trans, log=log)
+        fm = gfm
+    else:
+        if fm is None:
+            log("Building FM index...")
+            fm = build_fm_index(genome)
+        mapper = SingleIndexMapper(fm, genome, params, trans=trans, log=log)
 
     chunks = []
-    tables = []
     from tophat_tpu.pipeline.prep import PrepStats
 
     prep_all = [PrepStats(), PrepStats()]
@@ -148,44 +216,19 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
             raise SystemExit("Error: mate files have different read counts")
         ms = []
         for side, b in enumerate((b1, b2)):
-            m = _map_mate(fm, offsets, b, params, log, genome=genome,
-                          trans=trans)
+            m = mapper.map_chunk_mate(b, side)
             prep_all[side].merge(m.prep_stats)
-            tables.append(discover_events(fm, offsets, m.gs, params,
-                                          seg_tables=m.seg_tables,
-                                          log=None, read_side=side))
-            if params.coverage_search and m.seg_tables is not None:
-                from tophat_tpu.pipeline.coverage import \
-                    coverage_search_events
-
-                tables.append(coverage_search_events(fm, genome, m.gs,
-                                                     m.seg_tables, params))
-            if ((params.butterfly_search or params.microexon_search)
-                    and m.seg_tables is not None):
-                from tophat_tpu.pipeline.butterfly import (
-                    butterfly_search_events, microexon_events)
-
-                if params.butterfly_search:
-                    tables.append(butterfly_search_events(
-                        fm, genome, m.gs, m.seg_tables, params))
-                if params.microexon_search:
-                    tables.append(microexon_events(fm, genome, m.gs,
-                                                   m.seg_tables, params))
-            if m.gapped_events is not None:
-                tables.append(m.gapped_events)
             ms.append(m)
         chunks.append((b1, b2, ms[0], ms[1]))
         log(f"pair chunk {len(chunks) - 1}: {b1.size} read pairs")
     if not chunks:
         raise SystemExit("Error: no reads in input")
-    if known_events is not None:
-        tables.append(known_events)
-    events = merge_events(*tables)
+    events = mapper.finalize_events(known_events)
 
     stats: Dict[int, EventStats] = {}
     for (b1, b2, m1, m2) in chunks:
         for m in (m1, m2):
-            candidates_for_mate(fm, m, events, params, log, paired=True)
+            mapper.fill_candidates(m, events, paired=True)
             merge_stats(stats, accumulate_event_stats(
                 m.cands, events, m.batch.lengths.astype(np.int32)))
     filter_junctions(events, stats, params, gtf_accept=gtf_accept)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -794,27 +795,11 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
         prev_idx[key] = i
         last_of_read[key] = i
 
-    lines = []
-    bam_recs = []
-    for i, (c, nh, rl, pi) in enumerate(records):
-        batch = parts[pi][0]
-        cid, local = genome.global_to_contig(np.int64(c.pos))
-        flag = samio.FLAG_REVERSE if c.strand else 0
-        extra = None
-        if nh > 1 and i != last_of_read[(pi, c.read)]:
-            flag |= samio.FLAG_SECONDARY
-            nref, npos = next_of[i]
-            cc = "=" if nref == genome.names[int(cid)] else nref
-            extra = [f"CC:Z:{cc}", f"CP:i:{npos + 1}"]
-        line, brec = _format_aln(genome, batch, c, nh, rl, int(cid),
-                                 int(local), flag, events, extra=extra,
-                                 params=params)
-        lines.append(line)
-        bam_recs.append(brec)
-    with open(os.path.join(out_dir, "accepted_hits.sam"), "w") as f:
-        for ln in lines:
-            f.write(ln + "\n")
-    write_bam_outputs(out_dir, genome, parts, bam_recs,
+    sam_content, bam_blob = _emit_records(genome, params, parts, records,
+                                          events, last_of_read, next_of)
+    with open(os.path.join(out_dir, "accepted_hits.sam"), "wb") as f:
+        f.write(sam_content)
+    write_bam_outputs(out_dir, genome, parts, bam_blob,
                       skip_accepted=params.no_convert_bam)
 
     _write_beds(out_dir, genome, events, final_stats)
@@ -873,102 +858,216 @@ def write_align_summary(out_dir, left, right, unpaired, pairs,
                     % (100.0 * conc / max(aligned, 1)))
 
 
-def _format_aln(genome, batch, c: Candidate, nh: int, rl: int, cid: int,
-                local: int, flag: int, events, extra=None, params=None):
-    from tophat_tpu.index.fasta import decode_seq
-    from tophat_tpu.io.bam import BamRecord
+_CIGAR_CODE = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+               "=": 7, "X": 8}
+_I4 = struct.Struct("<i")
 
-    seq = decode_seq(batch.codes[c.read][:rl]).encode()
-    qual = batch.quals[c.read][:rl] or b"*"
-    xs = None
-    fusion_ev = None
-    if c.kind == KIND_JUNCTION:
-        xs = "-" if events["antisense"][c.ev] else "+"
-    elif c.kind == KIND_FUSION:
-        fusion_ev = c.ev
-    elif c.kind == -2:
-        fus_pos2 = None
-        fus_dir = "ff"
-        for op in c.chain_ops:
-            if op[0] == "FUS":
-                fus_pos2, fus_dir = op[1], op[2]
-                continue
-            if op[0] != "EV":
-                continue
-            if op[2] == KIND_JUNCTION and xs is None:
-                xs = "-" if events["antisense"][op[1]] else "+"
-            if op[2] == KIND_FUSION and fusion_ev is None:
-                fusion_ev = op[1]
-        if fus_pos2 is not None:
-            rcid, rlocal = genome.global_to_contig(np.int64(fus_pos2))
+
+def _ascii_pool(batch):
+    """One vectorized decode of a batch's codes to an ASCII byte pool;
+    record sequences are cheap slices pool[read*L : read*L + rl]."""
+    from tophat_tpu.index.fasta import _CODE_TO_BASE
+
+    L = batch.codes.shape[1]
+    return _CODE_TO_BASE[np.clip(batch.codes, 0, 4)].tobytes(), L
+
+
+def _emit_records(genome, params, parts, records, events, last_of_read,
+                  next_of):
+    """Format the sorted record list into SAM text bytes + a BAM record
+    blob in one pass: per-record Python builds only the lightweight pieces
+    (cigar ops, tags); sequence decode, contig resolution and all BAM
+    byte-packing are columnar (io/bam.encode_records_columns) — the
+    batched-encode form of rewrite_sam_record/print_sam_for_single
+    (reference src/tophat_reports.cpp:656-1050)."""
+    from tophat_tpu.io.bam import encode_records_columns
+
+    v2 = bool(getattr(params, "v2_sam", False))
+    nrec = len(records)
+    pos_arr = np.fromiter((rec[0].pos for rec in records), np.int64,
+                          nrec) if nrec else np.zeros(0, np.int64)
+    cid_arr, local_arr = genome.global_to_contig(pos_arr)
+    cid_arr = np.asarray(cid_arr, np.int64).reshape(-1)
+    local_arr = np.asarray(local_arr, np.int64).reshape(-1)
+    ref_names_b = [n.encode() for n in genome.names]
+    pools = [_ascii_pool(batch) for batch, _ in parts]
+
+    sam_lines = []
+    names_b = []
+    flags = np.zeros(nrec, np.int64)
+    mapqs = np.zeros(nrec, np.int64)
+    ends = np.zeros(nrec, np.int64)
+    cig_flat: List[int] = []
+    n_cig = np.zeros(nrec, np.int64)
+    seq_list = []
+    qual_list = []
+    no_qual = np.zeros(nrec, bool)
+    tag_list = []
+    mapq_cache: Dict[int, int] = {}
+
+    for i, (c, nh, rl, pi) in enumerate(records):
+        batch = parts[pi][0]
+        pool, Lp = pools[pi]
+        cid = int(cid_arr[i])
+        local = int(local_arr[i])
+        flag = samio.FLAG_REVERSE if c.strand else 0
+        extra = None
+        if nh > 1 and i != last_of_read[(pi, c.read)]:
+            flag |= samio.FLAG_SECONDARY
+            nref, npos = next_of[i]
+            cc = "=" if nref == genome.names[cid] else nref
+            extra = [f"CC:Z:{cc}", f"CP:i:{npos + 1}"]
+        xs = None
+        fusion_ev = None
+        if c.kind == KIND_JUNCTION:
+            xs = "-" if events["antisense"][c.ev] else "+"
+        elif c.kind == KIND_FUSION:
+            fusion_ev = c.ev
+        elif c.kind == -2:
+            fus_pos2 = None
+            fus_dir = "ff"
+            for op in c.chain_ops:
+                if op[0] == "FUS":
+                    fus_pos2, fus_dir = op[1], op[2]
+                    continue
+                if op[0] != "EV":
+                    continue
+                if op[2] == KIND_JUNCTION and xs is None:
+                    xs = "-" if events["antisense"][op[1]] else "+"
+                if op[2] == KIND_FUSION and fusion_ev is None:
+                    fusion_ev = op[1]
+            if fus_pos2 is not None:
+                rcid, rlocal = genome.global_to_contig(np.int64(fus_pos2))
+                xf = (f"XF:Z:{genome.names[cid]}-"
+                      f"{genome.names[int(rcid)]} "
+                      f"{local + 1} {int(rlocal) + 1} {fus_dir}")
+                extra = (extra or []) + [xf]
+        if fusion_ev is not None or (c.kind == KIND_FUSION
+                                     and c.fpos2 >= 0):
+            if fusion_ev is not None:
+                pos2 = int(events["right"][fusion_ev])
+                pos1 = int(events["left"][fusion_ev])
+                fdir = "ff"
+            else:
+                pos2 = c.fpos2
+                pos1 = c.pos + (c.t - 1 if c.fdir != "rf" else 0)
+                fdir = c.fdir
+            rcid, rlocal = genome.global_to_contig(np.int64(pos2))
             xf = (f"XF:Z:{genome.names[cid]}-{genome.names[int(rcid)]} "
-                  f"{local + 1} {int(rlocal) + 1} {fus_dir}")
+                  f"{pos1 - int(genome.offsets[cid]) + 1} "
+                  f"{int(rlocal) + 1} {fdir}")
             extra = (extra or []) + [xf]
-    if fusion_ev is not None or (c.kind == KIND_FUSION and c.fpos2 >= 0):
-        if fusion_ev is not None:
-            pos2 = int(events["right"][fusion_ev])
-            pos1 = int(events["left"][fusion_ev])
-            fdir = "ff"
-        else:
-            pos2 = c.fpos2
-            pos1 = c.pos + (c.t - 1 if c.fdir != "rf" else 0)
-            fdir = c.fdir
-        rcid, rlocal = genome.global_to_contig(np.int64(pos2))
-        xf = (f"XF:Z:{genome.names[cid]}-{genome.names[int(rcid)]} "
-              f"{pos1 - int(genome.offsets[cid]) + 1} "
-              f"{int(rlocal) + 1} {fdir}")
-        extra = (extra or []) + [xf]
-    v2 = bool(getattr(params, "v2_sam", False)) if params else False
-    line = samio.format_record(
-        name=batch.names[c.read], flag=flag, ref=genome.names[cid],
-        pos0=local, mapq=samio.mapq_for_nh(nh, v2), cigar=c.cigar(rl),
-        seq=seq, qual=qual, nm=c.nm(), nh=nh, xs_strand=xs, extra=extra)
-    tags = [("NM", "i", c.nm())]
-    if xs is not None:
-        tags.append(("XS", "A", xs))
-    tags.append(("NH", "i", nh))
-    if extra:
-        for e in extra:
-            tg, ty, val = e.split(":", 2)
-            tags.append((tg, ty, int(val) if ty == "i" else val))
-    out_seq = samio.revcomp_ascii(seq) if flag & samio.FLAG_REVERSE else seq
-    out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
-    brec = BamRecord(batch.names[c.read], flag, cid, local,
-                     samio.mapq_for_nh(nh, v2), c.cigar(rl), -1, -1, 0,
-                     out_seq, out_qual, tags)
-    return line, brec
+
+        cigar = c.cigar(rl)
+        nm = c.nm()
+        mapq = mapq_cache.get(nh)
+        if mapq is None:
+            mapq = mapq_cache[nh] = samio.mapq_for_nh(nh, v2)
+        seq = pool[c.read * Lp: c.read * Lp + rl]
+        qual = batch.quals[c.read][:rl] or b"*"
+        if flag & samio.FLAG_REVERSE:
+            seq = samio.revcomp_ascii(seq)
+            qual = qual[::-1]
+
+        # SAM line (byte-identical to the old samio.format_record output)
+        cigs = "".join(f"{n}{op}" for op, n in cigar if n > 0) or "*"
+        line = (f"{batch.names[c.read]}\t{flag}\t{genome.names[cid]}\t"
+                f"{local + 1}\t{mapq}\t{cigs}\t*\t0\t0\t").encode() \
+            + seq + b"\t" + qual + f"\tNM:i:{nm}".encode()
+        if xs is not None:
+            line += f"\tXS:A:{xs}".encode()
+        line += f"\tNH:i:{nh}".encode()
+        if extra:
+            line += ("\t" + "\t".join(extra)).encode()
+        sam_lines.append(line)
+
+        # BAM columns
+        names_b.append(batch.names[c.read].encode())
+        flags[i] = flag
+        mapqs[i] = mapq
+        span = 0
+        for op, n in cigar:
+            cig_flat.append((n << 4) | _CIGAR_CODE[op])
+            if op in "MDN=X":
+                span += n
+        n_cig[i] = len(cigar)
+        ends[i] = local + max(1, span)
+        seq_list.append(seq)
+        nq = qual == b"*"
+        no_qual[i] = nq
+        qual_list.append(b"\x00" * len(seq) if nq else qual)
+        tags = b"NMi" + _I4.pack(nm)
+        if xs is not None:
+            tags += b"XSA" + xs.encode()
+        tags += b"NHi" + _I4.pack(nh)
+        if extra:
+            for e in extra:
+                tg, ty, val = e.split(":", 2)
+                if ty == "i":
+                    tags += tg.encode() + b"i" + _I4.pack(int(val))
+                elif ty == "Z":
+                    tags += tg.encode() + b"Z" + val.encode() + b"\x00"
+                else:
+                    tags += tg.encode() + ty.encode() + val.encode()
+        tag_list.append(tags)
+
+    sam_content = (b"\n".join(sam_lines) + b"\n") if sam_lines else b""
+    bam_blob = encode_records_columns(
+        names_b, flags, cid_arr, local_arr, ends, mapqs,
+        np.asarray(cig_flat, np.uint32), n_cig, seq_list, qual_list,
+        no_qual, tag_list)
+    return sam_content, bam_blob
 
 
-def write_bam_outputs(out_dir, genome, parts, bam_recs,
+def _unmapped_blob(parts):
+    """Columnar encode of the unmapped reads (flag 4, no cigar/tags)."""
+    from tophat_tpu.io.bam import encode_records_columns
+
+    names_b = []
+    seq_list = []
+    qual_list = []
+    nq_list = []
+    for batch, selected in parts:
+        mapped = {r for r, clist in selected.items() if clist}
+        pool, Lp = _ascii_pool(batch)
+        for r in range(batch.size):
+            if r in mapped:
+                continue
+            rl = int(batch.lengths[r])
+            names_b.append(batch.names[r].encode())
+            seq_list.append(pool[r * Lp: r * Lp + rl])
+            q = batch.quals[r][:rl]
+            nq_list.append(not q)
+            qual_list.append(q if q else b"\x00" * rl)
+    n = len(names_b)
+    z = np.zeros(n, np.int64)
+    return encode_records_columns(
+        names_b, np.full(n, samio.FLAG_UNMAPPED, np.int64),
+        np.full(n, -1, np.int64), np.full(n, -1, np.int64),
+        z, z, np.zeros(0, np.uint32), z, seq_list, qual_list,
+        np.asarray(nq_list, bool), [b""] * n)
+
+
+def write_bam_outputs(out_dir, genome, parts, bam_blob,
                       skip_accepted=False):
     """accepted_hits.bam (coordinate-sorted, same order as the SAM) and
     unmapped.bam (reference output contract: SURVEY.md appendix);
-    skip_accepted = --no-convert-bam (SAM only)."""
-    from tophat_tpu.index.fasta import decode_seq
-    from tophat_tpu.io.bam import BamRecord, BamWriter
+    skip_accepted = --no-convert-bam (SAM only). bam_blob: pre-encoded
+    record bytes from _emit_records."""
+    from tophat_tpu.io.bam import BamWriter
 
     header = "\n".join(samio.header_lines(genome)) + "\n"
     lens = [int(x) for x in genome.contig_lengths()]
     if not skip_accepted:
         w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
                       genome.names, lens)
-        for r in bam_recs:
-            w.write(r)
+        w.write_encoded(bam_blob)
         w.close()
 
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
                   "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
                   genome.names, lens)
-    for batch, selected in parts:
-        mapped = {r for r, clist in selected.items() if clist}
-        for r in range(batch.size):
-            if r in mapped:
-                continue
-            rl = int(batch.lengths[r])
-            seq = decode_seq(batch.codes[r][:rl]).encode()
-            w.write(BamRecord(batch.names[r], samio.FLAG_UNMAPPED, -1, -1,
-                              0, [], -1, -1, 0, seq,
-                              batch.quals[r][:rl] or b"*", []))
+    w.write_encoded(_unmapped_blob(parts))
     w.close()
 
 

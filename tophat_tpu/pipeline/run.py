@@ -615,6 +615,8 @@ def _mapped_chunk(fm_get, offsets, batch, params, log, genome=None,
         batch_ref = m.batch
         try:
             os.makedirs(tmp_dir, exist_ok=True)
+            if m.seg_tables is not None:   # device arrays don't pickle
+                m.seg_tables = tuple(np.asarray(a) for a in m.seg_tables)
             m.batch = None          # reads live in the input files
             with open(art, "wb") as f:
                 pickle.dump((m, chunk_tables, key), f,

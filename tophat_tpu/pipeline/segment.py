@@ -99,9 +99,22 @@ def build_genome_space(reads_f: np.ndarray, reads_r: np.ndarray,
     )
 
 
+BEAM_MIN_N = 1 << 21  # below this, pigeonhole piece intervals fit the
+#                       hits budget and the pigeonhole path is exact
+
+
 def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
-                 segment_mismatches: int, hits_per_seed: int, max_hits: int):
+                 segment_mismatches: int, hits_per_seed: int, max_hits: int,
+                 engine: str = "auto"):
     """Align every segment of every row against the forward text.
+
+    engine: "pigeonhole" (ops/align.py — exact only while piece SA
+    intervals fit hits_per_seed, i.e. small genomes), "beam" (ops/beam.py
+    half-split double-index search — full same-half sensitivity at any
+    genome size, the bowtie1 -v strategy), or "auto" (beam whenever the
+    index carries mirror tables, the genome is large enough for pigeonhole
+    truncation to lose placements, and every segment is long enough for
+    the half split).
 
     Returns (seg_pos, seg_mm, seg_valid): (2R, S, H) tables in genome order.
     """
@@ -120,13 +133,36 @@ def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
     ).reshape(rows, S, SEGL)
     seg_reads = np.where(ok, gathered, -1).reshape(rows * S, SEGL).astype(np.int8)
 
-    pos, mm, valid, n_hits, trunc = align_forward_rows(
-        fm, seg_reads, np.maximum(seg_lens, 1), offsets,
-        max_mismatches=segment_mismatches, hits_per_seed=hits_per_seed,
-        max_hits=max_hits)
+    from tophat_tpu.parallel import auto
+
+    min_seg = int(seg_len_tbl[seg_len_tbl > 0].min()) \
+        if rows and (seg_len_tbl > 0).any() else 0
+    use_beam = engine == "beam" or (
+        engine == "auto" and getattr(fm, "has_mirror", False)
+        and fm.n >= BEAM_MIN_N and min_seg >= 10
+        and auto.active() is None)  # mesh path row-shards the pigeonhole
+    #                                 engine; beam sharding is future work
+    if use_beam:
+        from tophat_tpu.ops.beam import beam_align_rows
+
+        pos, mm, valid, n_hits, trunc = beam_align_rows(
+            fm, seg_reads, np.maximum(seg_lens, 1), offsets,
+            max_mismatches=segment_mismatches, max_hits=max_hits)
+    else:
+        pos, mm, valid, n_hits, trunc = align_forward_rows(
+            fm, seg_reads, np.maximum(seg_lens, 1), offsets,
+            max_mismatches=segment_mismatches, hits_per_seed=hits_per_seed,
+            max_hits=max_hits)
     H = max_hits
-    zero_len = (seg_lens == 0)[:, None]
-    valid = np.asarray(valid) & ~zero_len
-    return (np.asarray(pos).reshape(rows, S, H),
-            np.asarray(mm).reshape(rows, S, H),
+    # tables stay on device: every heavy consumer (window building, stitch,
+    # realignment) is a device program — transferring the (2R, S, H) int32
+    # tables to host at this boundary cost more than the mapping itself on
+    # a tunneled dev chip. Host-side consumers (chains, gapped, coverage)
+    # np.asarray() the slices they need.
+    import jax.numpy as jnp
+
+    zero_len = jnp.asarray(seg_lens == 0)[:, None]
+    valid = jnp.asarray(valid) & ~zero_len
+    return (jnp.asarray(pos).reshape(rows, S, H),
+            jnp.asarray(mm).reshape(rows, S, H),
             valid.reshape(rows, S, H))
