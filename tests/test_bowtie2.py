@@ -78,3 +78,30 @@ def test_b2_score_floor_flags_gate_the_path(tmp_path):
     out = _run(genome, batch, tmp_path / "nogap", bowtie2=True,
                read_gap_length=1)
     assert sum(len(v) for v in out["selected"].values()) == 0
+
+
+def test_b2_multihit_gapped_nh(tmp_path):
+    """Repetitive region: a gapped read whose indel placement exists at TWO
+    genome copies must report both (NH=2) — the bowtie2 -k multi-hit
+    contract (reference: src/tophat.py:2286-2353 runs bowtie2 in -k K
+    end-to-end mode; round-3 review task 5)."""
+    rng = np.random.default_rng(13)
+    n = 8000
+    codes = rng.integers(0, 4, n).astype(np.int8)
+    # two identical 60bp copies far apart
+    unit = rng.integers(0, 4, 60).astype(np.int8)
+    codes[1000:1060] = unit
+    codes[5000:5060] = unit
+    genome = Genome(codes=codes, offsets=np.array([0, n]), names=["chrT"])
+    # read = unit prefix 30 + deletion of 2 + next 10 of unit
+    seq = np.concatenate([unit[:30], unit[32:42]])
+    batch = batch_reads([("m0", decode_seq(seq), b"I" * 40)])
+
+    out = _run(genome, batch, tmp_path / "multi", bowtie2=True,
+               report_secondary=False)
+    sel = out["selected"].get(0, [])
+    assert len(sel) == 2, f"expected NH=2 tied gapped placements, got " \
+        f"{[(c.pos, c.gap) for c in sel]}"
+    assert {c.pos for c in sel} == {1000, 5000}
+    sam = (tmp_path / "multi" / "accepted_hits.sam").read_text()
+    assert sam.count("NH:i:2") == 2 and "2D" in sam

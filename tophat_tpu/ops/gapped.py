@@ -113,14 +113,13 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
     best_pen, best_t, best_gap, best_mm, best_s0 = state
 
     ok = cand_valid & (best_pen <= score_floor)
-    pos = cand + best_s0 - 0
-    # best candidate per read (smallest penalty, then leftmost pos)
-    pen_masked = jnp.where(ok, best_pen, BIG)
-    ci = jnp.argmin(pen_masked + 0, axis=1).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, ci[:, None], axis=1)[:, 0]
-    read_ok = jnp.min(pen_masked, axis=1) <= score_floor
-    return (take(pos), take(best_t), take(best_gap), take(best_mm),
-            read_ok)
+    pos = cand + best_s0
+    # PER-CANDIDATE results: every passing anchor reports its best
+    # placement — the bowtie2 `-k` multi-hit contract (the reference runs
+    # bowtie2 in -k K end-to-end mode, src/tophat.py:2286-2353), so
+    # repetitive gapped reads keep their multihit set / NH > 1 instead of
+    # collapsing to a single best placement (round-3 review task 5)
+    return pos, best_t, best_gap, best_mm, jnp.where(ok, best_pen, BIG), ok
 
 
 MAX_CAND = 8
@@ -132,11 +131,10 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
     ungapped segment hits (the role of bowtie2's own seed-and-extend; the
     score contract is the driver's, reference src/tophat.py:2253-2259).
 
-    Single-best approximation: gapped_scan keeps ONE best-penalty placement
-    per read (leftmost on ties), where bowtie2 -k would report up to k tied
-    placements. Reads with several equally-scored gapped placements get
-    NH=1 here; their ungapped/spliced placements still flow through the
-    normal multihit machinery.
+    Multi-hit: every passing seed anchor contributes its best placement
+    (deduped by (pos, t, gap)), up to MAX_CAND per row — the bowtie2 `-k`
+    contract, so repetitive gapped reads report NH > 1 and participate in
+    -g downsampling like any other multihit set.
 
     offsets: contig offset table — placements that leave the genome or
     deletions spanning a contig boundary of the concatenated genome are
@@ -196,7 +194,7 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
     g = max(1, min(params.read_gap_length,
                    max(params.max_deletion_length,
                        min(params.max_insertion_length, MAX_INS))))
-    pos, t, gap, mm, ok = (np.asarray(x) for x in gapped_scan(
+    pos, t, gap, mm, pen, ok = (np.asarray(x) for x in gapped_scan(
         genome_codes, jnp.asarray(gs.readsg), jnp.asarray(gs.lengths),
         jnp.asarray(cand), jnp.asarray(cvalid),
         max_gap=g, max_edit=params.read_edit_dist))
@@ -206,13 +204,18 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
     ev_left, ev_right, ev_kind = [], [], []
     ev_ilen, ev_iseq = [], []
     results = []
-    for r in np.nonzero(ok)[0]:
+    seen = set()
+    for r, c in zip(*np.nonzero(ok)):
+        r, c = int(r), int(c)
         if int(gs.read_idx[r]) < 0:     # pow2 padding row
             continue
-        gp, tt, p0 = int(gap[r]), int(t[r]), int(pos[r])
+        gp, tt, p0 = int(gap[r, c]), int(t[r, c]), int(pos[r, c])
         if gp == 0:
             continue                    # pure-mismatch placement: the
         #                                 ungapped aligner's domain
+        if (r, p0, tt, gp) in seen:     # same placement via another seed
+            continue
+        seen.add((r, p0, tt, gp))
         rl = int(gs.lengths[r])
         span = rl + gp                  # genome bases consumed
         if p0 < 0 or p0 + span > glen:
@@ -244,7 +247,7 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
         ev_kind.append(kind)
         ev_ilen.append(ilen)
         ev_iseq.append(iseq)
-        results.append((int(r), p0, tt, gp, int(mm[r]),
+        results.append((int(r), p0, tt, gp, int(mm[r, c]),
                         (int(kind), left, right)))
     if not results:
         return None, []
