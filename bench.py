@@ -225,6 +225,13 @@ def main():
     if spliced_rps is not None:
         out["spliced_e2e_reads_per_s_per_chip"] = round(spliced_rps, 1)
         out["spliced_junction_read_recall_pct"] = round(recall, 1)
+    # whole-genome (3.2 Gbp grouped) evidence, recorded once by
+    # scripts/scale_proof.py on the real chip (see scale_proof.log)
+    proof = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SCALE_PROOF.json")
+    if os.path.exists(proof):
+        with open(proof) as f:
+            out["wholegenome_3gbp"] = json.load(f)
     print(json.dumps(out))
 
 

@@ -46,12 +46,10 @@ def backward_search(fm, queries):
         lo0 = jnp.where(seedable, klo, 0)
         hi0 = jnp.where(seedable, khi, m)
         skip = jnp.where(seedable, k, 0)
-        if L == k:
-            # pure table lookup — no scan at all. Rows that cannot seed
-            # (an N among the k chars, or a query shorter than k) report
-            # empty: an N makes exact match impossible anyway, and callers
-            # arrange not to hit this path with short valid queries.
-            return jnp.where(seedable, lo0, 0), jnp.where(seedable, hi0, 0)
+        # NOTE: even when L == k the scan below must still run — rows that
+        # cannot seed (left-padding or an N inside the k-char window, e.g.
+        # the half-split engine's 12/13-char queries in k-wide columns)
+        # consume their real characters there; seeded rows skip every step.
     else:
         lo0 = jnp.zeros(B, jnp.int32)
         hi0 = jnp.full(B, m, jnp.int32)

@@ -115,6 +115,23 @@ class GroupedMapper:
                                                range(gfm.n_groups)]
         self.group_events: Optional[List[dict]] = None
         self.group_eoff = None
+        self._dev_g = -1
+        self._dev_fm_cache = None
+
+    def _dev_fm(self, g: int):
+        """Device copy of group g's FM index, one group resident at a time
+        — passing host arrays into jits re-transfers the multi-GB tables
+        on every call, which dominates wall time at whole-genome scale
+        (a group stays resident across all its stages instead)."""
+        from tophat_tpu.parallel import auto
+
+        if auto.active() is not None:
+            return self.gfm.fms[g]   # mesh paths place/replicate themselves
+        if self._dev_g != g:
+            self._dev_fm_cache = None   # free the old group's HBM first
+            self._dev_fm_cache = self.gfm.fms[g].device_put()
+            self._dev_g = g
+        return self._dev_fm_cache
 
     def map_chunk_mate(self, batch, side: int) -> MateState:
         gfm, params, log = self.gfm, self.params, self.log
@@ -144,7 +161,7 @@ class GroupedMapper:
         alns = []
         total = np.zeros(batch.size, np.int64)
         for g in range(G):
-            fm = gfm.fms[g]
+            fm = self._dev_fm(g)
             al = align_reads_adaptive(
                 fm, reads_f, reads_r, lengths,
                 gfm.sub_genomes[g].offsets.astype(np.int32),
@@ -176,12 +193,13 @@ class GroupedMapper:
                                                0),
                                truncated=np.asarray(al.truncated)),
                 gs=None, prep_stats=prep_stats, trans_hits=None)
-            _spliced_mate(gfm.fms[g],
+            fm_g = self._dev_fm(g)
+            _spliced_mate(fm_g,
                           gfm.sub_genomes[g].offsets.astype(np.int32),
                           m, params, log, ium, reads_f, reads_r, lengths)
             gmates.append(m)
             self.group_tables[g].append(discover_events(
-                gfm.fms[g], gfm.sub_genomes[g].offsets.astype(np.int32),
+                fm_g, gfm.sub_genomes[g].offsets.astype(np.int32),
                 m.gs, params, seg_tables=m.seg_tables, log=None,
                 read_side=side))
             if params.coverage_search and m.seg_tables is not None:
@@ -189,7 +207,7 @@ class GroupedMapper:
                     coverage_search_events
 
                 self.group_tables[g].append(coverage_search_events(
-                    gfm.fms[g], gfm.sub_genomes[g], m.gs, m.seg_tables,
+                    fm_g, gfm.sub_genomes[g], m.gs, m.seg_tables,
                     params))
             if m.gapped_events is not None:
                 self.group_tables[g].append(m.gapped_events)
@@ -224,7 +242,7 @@ class GroupedMapper:
         gfm, params, log = self.gfm, self.params, self.log
         merged: Dict[int, list] = {}
         for g, m in enumerate(mate.gmates):
-            candidates_for_mate(gfm.fms[g], m, self.group_events[g],
+            candidates_for_mate(self._dev_fm(g), m, self.group_events[g],
                                 params, log, paired=paired,
                                 chain_default=False)
             _rebase_candidates(m.cands, int(gfm.bases[g]),
@@ -245,7 +263,7 @@ class GroupedMapper:
             resolved = {r for r, cl in mate.cands.items() if cl}
             for g, m in enumerate(mate.gmates):
                 n0 = {r: len(cl) for r, cl in m.cands.items()}
-                default_chains(gfm.fms[g], m, self.group_events[g],
+                default_chains(self._dev_fm(g), m, self.group_events[g],
                                params, log, resolved=resolved)
                 new: Dict[int, list] = {}
                 for r, cl in m.cands.items():

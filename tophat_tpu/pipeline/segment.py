@@ -154,11 +154,20 @@ def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
             max_mismatches=segment_mismatches, hits_per_seed=hits_per_seed,
             max_hits=max_hits)
     H = max_hits
-    # tables stay on device: every heavy consumer (window building, stitch,
-    # realignment) is a device program — transferring the (2R, S, H) int32
-    # tables to host at this boundary cost more than the mapping itself on
-    # a tunneled dev chip. Host-side consumers (chains, gapped, coverage)
-    # np.asarray() the slices they need.
+    if auto.active() is not None:
+        # mesh path: align_forward_rows returns slices of mesh-sharded
+        # arrays — gather to host here (feeding them into replicated jits
+        # forces a pathological reshard on the virtual CPU mesh)
+        zero_len = (seg_lens == 0)[:, None]
+        valid = np.asarray(valid) & ~zero_len
+        return (np.asarray(pos).reshape(rows, S, H),
+                np.asarray(mm).reshape(rows, S, H),
+                valid.reshape(rows, S, H))
+    # single-device: tables stay on device — every heavy consumer (window
+    # building, stitch, realignment) is a device program, and transferring
+    # the (2R, S, H) int32 tables to host at this boundary cost more than
+    # the mapping itself on a tunneled dev chip. Host-side consumers
+    # (chains, gapped, coverage) np.asarray() the slices they need.
     import jax.numpy as jnp
 
     zero_len = jnp.asarray(seg_lens == 0)[:, None]
