@@ -49,17 +49,24 @@ def get_fm():
     from tophat_tpu.index.fm import FMIndex, build_fm_index
 
     os.makedirs(CACHE, exist_ok=True)
-    # v4: + mirror tables (reversed-text BWT/Occ) for the segment beam
-    # search — full same-half sensitivity at gigabase scale (ops/beam.py)
+    # v4 cache carries mirror tables from an earlier design; the final
+    # half-split segment engine resolves through the forward SA, so the
+    # mirror arrays are dropped after load to save ~0.5 GiB of HBM
     path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k{KMER_K}_r{SA_RATE}_v4.npz")
     if os.path.exists(path):
-        return FMIndex.load(path)
+        import dataclasses
+
+        fm = FMIndex.load(path)
+        return dataclasses.replace(
+            fm, mir_bwt=np.zeros(0, np.uint32),
+            mir_occ_ck=np.zeros((0, 4), np.int32),
+            mir_occ_mid=np.zeros((0, 4), np.uint8))
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 4, GENOME_N).astype(np.int8)
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),
                     names=["chr1"])
     t0 = time.time()
-    fm = build_fm_index(genome, kmer_k=KMER_K, sa_rate=SA_RATE, mirror=True)
+    fm = build_fm_index(genome, kmer_k=KMER_K, sa_rate=SA_RATE)
     print(f"# built FM index in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
     fm.save(path)

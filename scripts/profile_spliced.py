@@ -82,6 +82,13 @@ def main():
     print(f"# warmup (compile) run: {time.time() - t0:.1f}s", flush=True)
 
     batch = make(6)
+    t0 = time.time()
+    run_pipeline(genome, batch, params,
+                 tempfile.mkdtemp(prefix="prof_spliced_w2_"), fm=fm_d,
+                 log=lambda *a: None)
+    print(f"# warmup 2 (same-shape compiles): {time.time() - t0:.1f}s",
+          flush=True)
+
     out_dir = tempfile.mkdtemp(prefix="prof_spliced_")
     pr = cProfile.Profile()
     t0 = time.time()

@@ -121,7 +121,7 @@ def main():
     t0 = time.time()
     prefix = os.path.join(CACHE, "scale3g")
     cached = os.path.exists(prefix + ".g0.tt.npz")
-    gfm = build_grouped_fm(genome, kmer_k=13, sa_rate=4, mirror=True,
+    gfm = build_grouped_fm(genome, kmer_k=13, sa_rate=4,
                            cache_prefix=prefix, log=log)
     build_s = time.time() - t0
     log(f"grouped index: {gfm.n_groups} groups in {build_s:.0f}s "

@@ -242,7 +242,9 @@ def _index_design_point(big: bool):
     $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE / $TOPHAT_TPU_MIRROR."""
     kk = int(os.environ.get("TOPHAT_TPU_KMER_K", 13 if big else 0))
     sr = int(os.environ.get("TOPHAT_TPU_SA_RATE", 4 if big else 0))
-    mir = bool(int(os.environ.get("TOPHAT_TPU_MIRROR", 1 if big else 0)))
+    # mirror tables are optional (the half-split segment engine resolves
+    # through the forward SA); $TOPHAT_TPU_MIRROR=1 builds them anyway
+    mir = bool(int(os.environ.get("TOPHAT_TPU_MIRROR", 0)))
     return kk, sr, mir
 
 

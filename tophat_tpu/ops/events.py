@@ -30,6 +30,8 @@ from tophat_tpu.ops.splice import KIND_INSERTION
 
 MAX_INS = 8  # inserted-sequence slot width
 
+_PALLAS_BROKEN = [False]  # set when the Mosaic kernel fails to compile
+
 
 def _one_hot(codes, dtype):
     """(..., L) int8 codes -> (..., L, 4); pad/N/out-of-range rows are zero,
@@ -53,7 +55,7 @@ def realign_chunk(genome, readsg, lengths, ev_left, ev_right, ev_kind,
     n = genome.shape[0]
     R, L = readsg.shape
     E = ev_left.shape[0]
-    dt = jnp.float32
+    dt = jnp.bfloat16   # one-hot inputs are 0/1; products exact, f32 accum
 
     X = _one_hot(readsg, dt)                                   # (R, L, 4)
 
@@ -72,13 +74,15 @@ def realign_chunk(genome, readsg, lengths, ev_left, ev_right, ev_kind,
     # matchL[e, r, lag] = sum_u X[r, u] * YL[e, u + lag]
     matchL = jax.lax.conv_general_dilated(
         jnp.moveaxis(YL, -1, 1), jnp.moveaxis(X, -1, 1),
-        window_strides=(1,), padding=((0, L - 1),), dimension_numbers=dn)
+        window_strides=(1,), padding=((0, L - 1),), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
     # matchR[r, e, lag] = sum_u X[r, u] * YR[e, u - lag]
     dn2 = jax.lax.conv_dimension_numbers((R, 4, L), (E, 4, L),
                                          ("NCW", "OIW", "NCW"))
     matchR = jax.lax.conv_general_dilated(
         jnp.moveaxis(X, -1, 1), jnp.moveaxis(YR, -1, 1),
-        window_strides=(1,), padding=((0, L - 1),), dimension_numbers=dn2)
+        window_strides=(1,), padding=((0, L - 1),), dimension_numbers=dn2,
+        preferred_element_type=jnp.float32)
 
     t = jnp.arange(L, dtype=jnp.int32)                         # split point
     q = ev_ins_len.astype(jnp.int32)[None, :, None]            # (1, E, 1)
@@ -114,6 +118,48 @@ def realign_chunk(genome, readsg, lengths, ev_left, ev_right, ev_kind,
     return best_t, jnp.where(ok, best, big), ok
 
 
+@partial(jax.jit, static_argnames=("L", "q", "max_mm"))
+def realign_scan(X, YLpad, YCpad, lengths, *, L: int, q: int, max_mm: int):
+    """The Pallas realign algorithm in plain XLA: a scan over split points
+    t, each step two bf16 MXU matmuls against lag-shifted flank slices,
+    folding straight into running (best, best_t) — HBM traffic O(R*E) per
+    step instead of the conv path's O(R*E*L) materialized volumes. Same
+    inputs as realign_pallas (prepare_inputs)."""
+    R = X.shape[0]
+    E = YLpad.shape[0]
+    Xb = X.astype(jnp.bfloat16)
+    YLb = YLpad.astype(jnp.bfloat16)
+    YCb = YCpad.astype(jnp.bfloat16)
+    lens = lengths[:, None].astype(jnp.int32)
+    big = jnp.float32(32767.0)
+
+    def body(carry, t):
+        best, bestt = carry
+        sl = (L - t) * 4
+        yl = jax.lax.dynamic_slice_in_dim(YLb, sl, L * 4, axis=1)
+        yc = jax.lax.dynamic_slice_in_dim(YCb, sl, L * 4, axis=1)
+        matchL = jax.lax.dot_general(
+            Xb, yl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        matchC = jax.lax.dot_general(
+            Xb, yc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mm = (t.astype(jnp.float32) - matchL) + (
+            (lens - t).astype(jnp.float32) - matchC)
+        interior = (t >= 1) & (t + q <= lens - 1)
+        mm = jnp.where(interior, mm, big)
+        upd = mm < best
+        return (jnp.where(upd, mm, best), jnp.where(upd, t, bestt)), None
+
+    init = (jnp.full((R, E), big, jnp.float32),
+            jnp.zeros((R, E), jnp.int32))
+    (best, bestt), _ = jax.lax.scan(
+        body, init, jnp.arange(1, L, dtype=jnp.int32))
+    besti = best.astype(jnp.int32)
+    ok = besti <= max_mm
+    return bestt, jnp.where(ok, besti, jnp.int32(32767)), ok
+
+
 def realign_events(genome, readsg, lengths, events, max_mm: int,
                    chunk: int = 128, backend: str = "auto"):
     """Host wrapper: chunk the event table to bound device memory.
@@ -121,23 +167,42 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
     events: dict of numpy arrays (left, right, kind, ins_len, ins_seq,
     valid). Returns (best_t, mm, ok) as (R, E) numpy arrays.
 
-    backend "pallas" (or "auto" on TPU) routes through the fused Pallas
-    kernel (ops/pallas/realign_kernel.py), grouping events by insertion
-    length; anything else uses the XLA conv path."""
+    Routing: with an active mesh, the conv path (it row-shards over the
+    reads axis). Single-device: the fused Pallas kernel when Mosaic
+    accepts it, else the scan-of-matmuls path (realign_scan) — both
+    grouped by insertion length."""
     E = len(events["left"])
     R = readsg.shape[0]
     if E == 0:
         return (np.zeros((R, 0), np.int32), np.zeros((R, 0), np.int32),
                 np.zeros((R, 0), bool))
+    from tophat_tpu.parallel import auto
+
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   and readsg.shape[1] >= 16 else "xla")
+        if auto.active() is not None:
+            backend = "xla"
+        elif (jax.default_backend() == "tpu" and readsg.shape[1] >= 16
+                and not _PALLAS_BROKEN[0]):
+            backend = "pallas"
+        else:
+            backend = "scan"
     if backend == "pallas":
         try:
-            return _realign_events_pallas(genome, readsg, lengths, events,
-                                          max_mm)
-        except Exception:  # Mosaic/compile issues: fall back to XLA conv
-            pass
+            return _realign_events_grouped(genome, readsg, lengths, events,
+                                           max_mm, impl="pallas")
+        except Exception as e:  # Mosaic/compile issues: fall back
+            # remember the failure — a failing Mosaic compile attempt
+            # costs ~10s EVERY call (failures aren't cached)
+            _PALLAS_BROKEN[0] = True
+            import warnings
+
+            warnings.warn(
+                f"Pallas realign kernel unavailable ({type(e).__name__}); "
+                "using the scan path for this process")
+            backend = "scan"
+    if backend == "scan":
+        return _realign_events_grouped(genome, readsg, lengths, events,
+                                       max_mm, impl="scan")
     # multi-device: rows sharded over the mesh's reads axis, events + genome
     # replicated (parallel/auto.py) — the realignment analog of the
     # reference's per-thread read ranges (tophat_reports.cpp:1231)
@@ -164,12 +229,15 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
             np.concatenate(outs_ok, 1))
 
 
-def _realign_events_pallas(genome, readsg, lengths, events, max_mm: int):
-    """Route realignment through the fused Pallas kernel, one call per
-    distinct insertion length (kernel requirement), scattering results back
-    into the (R, E) tables."""
+def _realign_events_grouped(genome, readsg, lengths, events, max_mm: int,
+                            impl: str = "pallas"):
+    """Route realignment through a fused kernel (Pallas or the XLA scan),
+    one call per distinct insertion length (kernel requirement),
+    scattering results back into the (R, E) tables."""
     from tophat_tpu.ops.pallas.realign_kernel import (prepare_inputs,
                                                       realign_pallas)
+
+    run = realign_pallas if impl == "pallas" else realign_scan
 
     R, L = readsg.shape
     E = len(events["left"])
@@ -183,15 +251,21 @@ def _realign_events_pallas(genome, readsg, lengths, events, max_mm: int):
     lengths_d = jnp.asarray(lengths)
     for q in np.unique(ilen):
         idx = np.nonzero(ilen == q)[0]
+        # pad the event group to a power of two: successive batches with
+        # slightly different discovered-event counts must share compiled
+        # shapes (a mid-bench recompile costs more than the realign)
+        npad = (1 << max(3, int(len(idx) - 1).bit_length())) - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[:1], npad)])
         X, YL, YC = prepare_inputs(
-            genome, readsg, jnp.asarray(events["left"][idx]),
-            jnp.asarray(events["right"][idx]), jnp.asarray(kinds[idx]),
-            np.asarray(events["ins_seq"])[idx], int(q), L)
-        bt, m, o = realign_pallas(X, YL, YC, lengths_d, L=L, q=int(q),
-                                  max_mm=max_mm)
-        best_t[:, idx] = np.asarray(bt)
-        mm[:, idx] = np.asarray(m)
-        ok[:, idx] = np.asarray(o)
+            genome, readsg, jnp.asarray(events["left"][idx_p]),
+            jnp.asarray(events["right"][idx_p]), jnp.asarray(kinds[idx_p]),
+            np.asarray(events["ins_seq"])[idx_p], int(q), L)
+        bt, m, o = run(X, YL, YC, lengths_d, L=L, q=int(q),
+                       max_mm=max_mm)
+        k = len(idx)
+        best_t[:, idx] = np.asarray(bt)[:, :k]
+        mm[:, idx] = np.asarray(m)[:, :k]
+        ok[:, idx] = np.asarray(o)[:, :k]
     valid = np.asarray(events["valid"]).astype(bool)
     ok &= valid[None, :]
     return best_t, mm, ok

@@ -138,10 +138,11 @@ def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
     min_seg = int(seg_len_tbl[seg_len_tbl > 0].min()) \
         if rows and (seg_len_tbl > 0).any() else 0
     use_beam = engine == "beam" or (
-        engine == "auto" and getattr(fm, "has_mirror", False)
+        engine == "auto"
         and fm.n >= BEAM_MIN_N and min_seg >= 10
         and auto.active() is None)  # mesh path row-shards the pigeonhole
-    #                                 engine; beam sharding is future work
+    #                                 engine; half-split sharding is
+    #                                 future work
     if use_beam:
         from tophat_tpu.ops.beam import beam_align_rows
 
