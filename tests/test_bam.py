@@ -153,3 +153,45 @@ def test_bam_record_beyond_512mbp(tmp_path):
     assert names == ["chr1"]
     assert records[0].pos == (1 << 30) + 12345
     assert records[0].seq == b"ACGT" * 6
+
+
+def test_native_encoder_matches_numpy():
+    """The C columnar encoder (native/bamenc.cpp) must produce byte-
+    identical records to the numpy ragged-scatter path."""
+    import numpy as np
+
+    from tophat_tpu.io import bam as B
+    from tophat_tpu.native import bamenc
+
+    if not bamenc.available:
+        import pytest
+
+        pytest.skip("native bamenc unavailable")
+    names = [b"read1", b"r2", b"a_longer_name_3"]
+    flag = np.array([0, 16, 4], np.int64)
+    ref = np.array([0, 1, -1], np.int64)
+    pos = np.array([100, 5000, -1], np.int64)
+    end = np.array([140, 5036, 0], np.int64)
+    mapq = np.array([255, 3, 0], np.int64)
+    cig = np.array([(40 << 4) | 0, (20 << 4) | 0, (200 << 4) | 3,
+                    (16 << 4) | 0], np.uint32)
+    ncig = np.array([1, 3, 0], np.int64)
+    seqs = [b"ACGT" * 10, b"ACGTN" * 7 + b"A", b"GGGCC"]
+    quals = [b"I" * 40, b"\x00" * 36, b"JJJJJ"]
+    noq = np.array([False, True, False])
+    tags = [b"NMi\x00\x00\x00\x00", b"", b"XSA+"]
+
+    blob_c = B.encode_records_columns(names, flag, ref, pos, end, mapq,
+                                      cig, ncig, seqs, quals, noq, tags)
+    # force the numpy path
+    from tophat_tpu import native
+
+    saved = native.bamenc._lib, native.bamenc._failed
+    native.bamenc._lib, native.bamenc._failed = None, True
+    try:
+        blob_py = B.encode_records_columns(names, flag, ref, pos, end,
+                                           mapq, cig, ncig, seqs, quals,
+                                           noq, tags)
+    finally:
+        native.bamenc._lib, native.bamenc._failed = saved
+    assert blob_c == blob_py

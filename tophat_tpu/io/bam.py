@@ -266,6 +266,38 @@ def encode_records_columns(names, flag, ref_id, pos, end, mapq,
     qual_join = b"".join(qual_list)
     n_cig = np.asarray(n_cig, np.int64)
 
+    from tophat_tpu.native import bamenc as native_enc
+
+    if native_enc.available:
+        names_cat = b"".join(names)          # no separators: offset-indexed
+        zero = np.zeros(1, np.int64)
+        name_off = np.concatenate([zero, np.cumsum(name_len - 1)])
+        seq_off = np.concatenate([zero, np.cumsum(l_seq)])
+        cig_off = np.concatenate([zero, np.cumsum(n_cig)])
+        tag_off = np.concatenate([zero, np.cumsum(tag_len)])
+        total = int((4 + 32 + name_len + 4 * n_cig + (l_seq + 1) // 2
+                     + l_seq + tag_len).sum())
+        return native_enc.encode(
+            np.frombuffer(names_cat, np.uint8) if names_cat
+            else np.zeros(0, np.uint8),
+            np.ascontiguousarray(name_off),
+            np.ascontiguousarray(np.asarray(flag, np.int32)),
+            np.ascontiguousarray(np.asarray(ref_id, np.int32)),
+            np.ascontiguousarray(np.asarray(pos, np.int32)),
+            np.ascontiguousarray(np.asarray(end, np.int32)),
+            np.ascontiguousarray(np.asarray(mapq, np.int32)),
+            np.ascontiguousarray(np.asarray(cigar_flat, np.uint32)),
+            np.ascontiguousarray(cig_off),
+            np.frombuffer(seq_join, np.uint8) if seq_join
+            else np.zeros(0, np.uint8),
+            np.ascontiguousarray(seq_off),
+            np.frombuffer(qual_join, np.uint8) if qual_join
+            else np.zeros(0, np.uint8),
+            np.ascontiguousarray(np.asarray(no_qual, np.uint8)),
+            np.frombuffer(tags_join, np.uint8) if tags_join
+            else np.zeros(0, np.uint8),
+            np.ascontiguousarray(tag_off), total)
+
     seq4_len = (l_seq + 1) // 2
     body_len = 32 + name_len + 4 * n_cig + seq4_len + l_seq + tag_len
     rec_len = 4 + body_len

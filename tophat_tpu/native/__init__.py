@@ -120,3 +120,61 @@ class _Bgzf:
 
 
 bgzf = _Bgzf()
+
+
+class _BamEnc:
+    """Columnar BAM record assembler (bamenc.cpp) — `available` degrades
+    to the numpy ragged-scatter encoder on any build failure."""
+
+    def __init__(self):
+        self._lib = None
+        self._failed = False
+
+    @property
+    def lib(self):
+        if self._lib is None and not self._failed:
+            try:
+                self._lib = _build_and_load("bamenc")
+                f = self._lib.bam_encode_records
+                f.restype = ctypes.c_int64
+                u8 = ctypes.POINTER(ctypes.c_uint8)
+                i32 = ctypes.POINTER(ctypes.c_int32)
+                i64 = ctypes.POINTER(ctypes.c_int64)
+                u32 = ctypes.POINTER(ctypes.c_uint32)
+                f.argtypes = [ctypes.c_int64, u8, i64, i32, i32, i32, i32,
+                              i32, u32, i64, u8, i64, u8, u8, u8, i64, u8,
+                              ctypes.c_int64]
+            except Exception:
+                self._failed = True
+        return self._lib
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def encode(self, names_blob, name_off, flag, ref_id, pos, end, mapq,
+               cig_flat, cig_off, seq_blob, seq_off, qual_blob, no_qual,
+               tag_blob, tag_off, out_cap: int) -> bytes:
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        u32 = ctypes.POINTER(ctypes.c_uint32)
+        out = np.empty(out_cap, np.uint8)
+        n = len(flag)
+        w = self.lib.bam_encode_records(
+            ctypes.c_int64(n),
+            names_blob.ctypes.data_as(u8), name_off.ctypes.data_as(i64),
+            flag.ctypes.data_as(i32), ref_id.ctypes.data_as(i32),
+            pos.ctypes.data_as(i32), end.ctypes.data_as(i32),
+            mapq.ctypes.data_as(i32),
+            cig_flat.ctypes.data_as(u32), cig_off.ctypes.data_as(i64),
+            seq_blob.ctypes.data_as(u8), seq_off.ctypes.data_as(i64),
+            qual_blob.ctypes.data_as(u8), no_qual.ctypes.data_as(u8),
+            tag_blob.ctypes.data_as(u8), tag_off.ctypes.data_as(i64),
+            out.ctypes.data_as(u8), ctypes.c_int64(out_cap))
+        if w < 0:
+            raise OSError("bam_encode_records overflow")
+        return out[:w].tobytes()
+
+
+bamenc = _BamEnc()
