@@ -33,7 +33,8 @@ BASELINE_READS_PER_S = 20_000.0
 GENOME_N = 1 << 30          # 1.07 Gbp — mammalian-scale operating point
 BATCH = 16384
 READ_LEN = 100
-ITERS = 5
+ITERS = 12   # more in-flight batches amortize the per-dispatch host cost
+#              and the single final sync RTT of the pipelined measurement
 # index design point (PERF.md sweep): k=14 seed table + full SA resolves
 # placements with a direct lookup — 7.9 GiB HBM, fastest of the swept
 # points on v5e (sampled-SA points cover smaller-HBM deployments)

@@ -27,7 +27,9 @@ CACHE = os.path.join(ROOT, ".bench_cache")
 CONTIG_MBP = [249, 243, 198, 191, 181, 171, 159, 146, 141, 136, 135, 134,
               115, 107, 103, 90, 81, 78, 59, 63, 48, 51, 155, 59]
 READ_LEN = 100
-N_READS = 32768
+N_READS = 16384   # HBM headroom: the 1.95 Gbp group index is ~6.5 GiB
+#                   device-resident; a 16k batch keeps the spliced-stage
+#                   grids well inside the remaining budget
 N_JUNC_CONTIGS = (0, 11, 23)     # first group, middle, last
 JUNCS_PER_CONTIG = 8
 

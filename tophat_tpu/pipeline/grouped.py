@@ -128,7 +128,11 @@ class GroupedMapper:
         if auto.active() is not None:
             return self.gfm.fms[g]   # mesh paths place/replicate themselves
         if self._dev_g != g:
+            import gc
+
             self._dev_fm_cache = None   # free the old group's HBM first
+            gc.collect()                # drop lingering device-array refs
+            #                             before the next multi-GB resident
             self._dev_fm_cache = self.gfm.fms[g].device_put()
             self._dev_g = g
         return self._dev_fm_cache
