@@ -175,7 +175,19 @@ def main():
         index_cached=bool(cached), reads=N_READS,
         wall_s=round(wall, 1), reads_per_s=round(N_READS / wall, 1),
         junctions_planted=len(expected), junctions_matching=n_match,
-        junction_read_recall_pct=round(recall, 1))
+        junction_read_recall_pct=round(recall, 1),
+        note=("wall_s is dominated by per-group index transfers over the "
+              "~75 MB/s dev tunnel and first-shape compiles; see "
+              "scale_proof.log and PERF.md"))
+    prev = os.path.join(ROOT, "SCALE_PROOF.json")
+    if cached and os.path.exists(prev):   # keep the fresh-build number
+        old = json.load(open(prev))
+        if "index_build_fresh_s" in old:
+            result["index_build_fresh_s"] = old["index_build_fresh_s"]
+        elif not old.get("index_cached", True):
+            result["index_build_fresh_s"] = old["index_build_s"]
+    else:
+        result["index_build_fresh_s"] = round(build_s, 1)
     with open(os.path.join(ROOT, "SCALE_PROOF.json"), "w") as f:
         json.dump(result, f, indent=1)
     log("SCALE_PROOF.json written")
