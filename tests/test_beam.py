@@ -133,3 +133,51 @@ def test_matches_pigeonhole_on_small_genome(bfm):
         assert a & b, f"row {i}: no common hits ({a} vs {b})"
         assert b <= {int(p) for p, m in
                      _brute(codes, segs[i], 2).items()} | set()
+
+
+def test_pipeline_auto_selects_half_split(tmp_path):
+    """End-to-end pipeline on a genome above BEAM_MIN_N: the segment
+    engine auto-gate must route through the half-split path and the
+    junction must come out spliced (N-CIGAR) with correct coordinates."""
+    from tophat_tpu.index.fasta import Genome, decode_seq
+    from tophat_tpu.io.fastq import batch_reads
+    from tophat_tpu.pipeline import segment as SEG
+    from tophat_tpu.pipeline.params import Params
+    from tophat_tpu.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(77)
+    N = (1 << 21) + 4096            # just above BEAM_MIN_N
+    codes = rng.integers(0, 4, N).astype(np.int8)
+    a, il = 500_000, 400
+    codes[a] = 2
+    codes[a + 1] = 3
+    codes[a + il - 2] = 0
+    codes[a + il - 1] = 2
+    genome = Genome(codes=codes, offsets=np.array([0, N]), names=["chrB"])
+
+    recs = []
+    L = 76
+    for k in range(12):             # junction-spanning
+        t = 20 + 3 * k
+        seq = np.concatenate([codes[a - t: a], codes[a + il: a + il + L - t]])
+        recs.append((f"j{k}", decode_seq(seq), b"I" * L))
+    for k in range(12):             # contiguous with 2 same-half-per-seg mm
+        s = 10_000 + 7_000 * k
+        seq = codes[s: s + L].copy()
+        seq[5] = (seq[5] + 1) % 4
+        recs.append((f"c{k}", decode_seq(seq), b"I" * L))
+
+    assert SEG.BEAM_MIN_N <= N      # the auto-gate selects the half-split
+    run_pipeline(genome, batch_reads(recs),
+                 Params(coverage_search=False), str(tmp_path),
+                 log=lambda *x: None)
+    sam = (tmp_path / "accepted_hits.sam").read_text()
+    n_spliced = sum(1 for ln in sam.splitlines()
+                    if ln.split("\t")[0].startswith("j")
+                    and "N" in ln.split("\t")[5])
+    assert n_spliced == 12, f"only {n_spliced}/12 junction reads spliced"
+    bed = (tmp_path / "junctions.bed").read_text().splitlines()[1:]
+    assert len(bed) == 1
+    f = bed[0].split("\t")
+    lj = int(f[1]) + int(f[10].split(",")[0]) - 1   # last exonic base
+    assert lj == a - 1, f"junction at {lj}, expected {a - 1}"

@@ -13,8 +13,17 @@ Only chains crossing >= 2 events are emitted — 0- and 1-event placements are
 already produced by stitch_contiguous and realign_events, which keeps the
 byte-exact regression behavior untouched.
 
-Host-side for now (IUM reads only; the per-segment event table is computed
-on device); the DP moves on-device in a later round.
+Execution model: the per-segment event-hit tables are computed ON DEVICE
+(realign_events over segment rows); the chain join itself is host-side
+Python over those tables, deliberately. In the default (non-fusion) mode
+it runs ONLY for reads still unresolved after contiguous + single-event
+candidates (pipeline/run.default_chains), which at the 1 Gbp bench
+configuration is <0.2% of end-to-end time (PERF.md round-4 stage split —
+well under the <5% criterion a device DP was meant to protect). A padded
+fixed-K device DP remains the right move if multi-intron-heavy workloads
+ever push this stage onto the profile; the join semantics here
+(merge_chain gap closure, MAX_EVENTS/MAX_FUSIONS caps) are the contract
+it would have to preserve.
 """
 
 from __future__ import annotations
