@@ -187,6 +187,10 @@ class GroupedMapper:
         gmates = []
         for g in range(G):
             al = alns[g]
+            if not isinstance(al.pos, np.ndarray):
+                from tophat_tpu.ops.align import transfer_alignments
+
+                al = transfer_alignments(al)
             valid = np.asarray(al.valid) & keep[:, None]
             m = MateState(
                 batch=batch, keep=keep,

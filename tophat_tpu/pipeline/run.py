@@ -132,6 +132,13 @@ def _align_mate(fm, offsets, batch: ReadBatch, params: Params, log,
         narrow_hits=min(8, params.hits_per_seed),
         wide_hits=params.hits_per_seed,
         uniform_len=min_len if min_len == max_len else 0)
+    if not isinstance(aln.pos, np.ndarray):
+        # device result: compact to the flat valid entries before the
+        # host transfer — the (B, 64) tables cost ~0.5s/chunk through the
+        # dev tunnel vs ~0.01s packed (ops/align.transfer_alignments)
+        from tophat_tpu.ops.align import transfer_alignments
+
+        aln = transfer_alignments(aln)
     if params.prefilter_multihits:
         # -M/--prefilter-multihits (reference: tophat.py:3995-4026 +
         # prep_reads flt_reads): reads with more than max_multihits genomic
