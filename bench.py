@@ -50,18 +50,12 @@ def get_fm():
     from tophat_tpu.index.fm import FMIndex, build_fm_index
 
     os.makedirs(CACHE, exist_ok=True)
-    # v4 cache carries mirror tables from an earlier design; the final
-    # half-split segment engine resolves through the forward SA, so the
-    # mirror arrays are dropped after load to save ~0.5 GiB of HBM
+    # the v4 cache may carry mirror tables from the round-3/4 design;
+    # FMIndex.load ignores them (the split-pair case now runs off the
+    # forward k-mer table, ops/beam.py)
     path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k{KMER_K}_r{SA_RATE}_v4.npz")
     if os.path.exists(path):
-        import dataclasses
-
-        fm = FMIndex.load(path)
-        return dataclasses.replace(
-            fm, mir_bwt=np.zeros(0, np.uint32),
-            mir_occ_ck=np.zeros((0, 4), np.int32),
-            mir_occ_mid=np.zeros((0, 4), np.uint8))
+        return FMIndex.load(path)
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 4, GENOME_N).astype(np.int8)
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),

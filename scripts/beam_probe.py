@@ -22,7 +22,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     fm = bench.get_fm()
-    print(f"# index loaded, mirror={fm.has_mirror}", flush=True)
+    print(f"# index loaded, kmer_k={fm.kmer_k}", flush=True)
     fm_d = fm.device_put()
     codes = np.asarray(fm.genome)
     n = len(codes)

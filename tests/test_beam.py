@@ -1,7 +1,8 @@
 """Half-split beam search (ops/beam.py): full same-half mismatch
-sensitivity for short segments, independent of genome size — the
-double-index strategy of the engine the reference shells out to
-(bowtie1 -v mode, src/tophat.py:2339-2344)."""
+sensitivity for short segments, independent of genome size — the role
+of the double-index engine the reference shells out to (bowtie1 -v
+mode, src/tophat.py:2339-2344), with the split-pair (1 mismatch per
+half) case covered by k-mer-table variant enumeration."""
 
 import numpy as np
 import pytest
@@ -13,7 +14,7 @@ def bfm():
 
     rng = np.random.default_rng(11)
     codes = rng.integers(0, 4, 200_000).astype(np.int8)
-    fm = build_fm_index(codes, kmer_k=8, mirror=True)
+    fm = build_fm_index(codes, kmer_k=8)
     return fm, codes
 
 
@@ -71,14 +72,11 @@ def test_exact_and_same_half_mismatches(bfm):
         for gp, gm in got.items():
             assert gp in truth and truth[gp] == gm, \
                 f"seg {i}: spurious/mis-scored hit {gp}:{gm}"
-        # full sensitivity for same-half placements: everything brute
-        # force finds with mismatches confined to one half must appear
+        # full -v 2 sensitivity: everything brute force finds must
+        # appear (including split-pair placements, one mm per half)
         for tp, tm in truth.items():
-            d = (codes[tp:tp + 25] != segs[i])
-            if d[:12].any() and d[12:].any():
-                continue  # split-pair case: documented out of scope
             if not trunc[i]:
-                assert tp in got, f"seg {i}: same-half hit {tp} missed"
+                assert tp in got, f"seg {i}: hit {tp} missed"
 
 
 def test_n_bases_count_as_mismatches(bfm):
@@ -181,3 +179,53 @@ def test_pipeline_auto_selects_half_split(tmp_path):
     f = bed[0].split("\t")
     lj = int(f[1]) + int(f[10].split(",")[0]) - 1   # last exonic base
     assert lj == a - 1, f"junction at {lj}, expected {a - 1}"
+
+
+def test_split_pair_mismatches(bfm):
+    """The (1|1) split-pair case of the -v 2 contract: one mismatch in
+    each half, at every position combination near and far from the
+    midpoint (reference: bowtie's double-index phase 3, the engine of
+    src/tophat.py:2339-2344)."""
+    fm, codes = bfm
+    rng = np.random.default_rng(21)
+    segs, truths = [], []
+    pairs = [(11, 12), (11, 13), (0, 24), (5, 18), (10, 12), (11, 24),
+             (0, 12), (3, 20), (8, 14), (11, 15)]
+    for t, (i, j) in enumerate(pairs * 2):
+        p = int(rng.integers(100, len(codes) - 100))
+        seg = codes[p:p + 25].copy()
+        seg[i] = (seg[i] + 1 + (t % 3)) % 4
+        seg[j] = (seg[j] + 1 + (t % 2)) % 4
+        segs.append(seg)
+        truths.append((p, _brute(codes, seg, 2)))
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, segs)
+    for i, (p, truth) in enumerate(truths):
+        got = {int(pos[i, j]): int(mm[i, j])
+               for j in np.nonzero(valid[i])[0]}
+        assert got.get(p) == 2, \
+            f"seg {i} (pair {pairs[i % len(pairs)]}): {p} -> {got}"
+        for gp, gm in got.items():
+            assert truth.get(gp) == gm, f"spurious/mis-scored {gp}:{gm}"
+
+
+def test_split_pair_variable_lengths(bfm):
+    """Split-pair coverage for non-default segment lengths (the absorbed
+    last segment can be 20..44 bp; short rows >= kmer_k + 2)."""
+    fm, codes = bfm
+    rng = np.random.default_rng(23)
+    segs, truths = [], []
+    for L in (13, 16, 20, 24, 31, 40, 44):
+        h = L // 2
+        p = int(rng.integers(100, len(codes) - 100))
+        seg = codes[p:p + L].copy()
+        i = int(rng.integers(0, h))
+        j = int(rng.integers(h, L))
+        seg[i] = (seg[i] + 1) % 4
+        seg[j] = (seg[j] + 2) % 4
+        segs.append(seg)
+        truths.append((p, L))
+    pos, mm, valid, n_hits, trunc = _hits(fm, codes, segs)
+    for i, (p, L) in enumerate(truths):
+        got = {int(pos[i, j]): int(mm[i, j])
+               for j in np.nonzero(valid[i])[0]}
+        assert got.get(p) == 2, f"len {L}: {p} -> {got}"

@@ -94,24 +94,6 @@ class FMIndex:
     # genomes without any N skip the N-mask gather in verification
     # (one of the two hottest gathers at chromosome scale)
     has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
-    # mirror tables: BWT + Occ of the REVERSED text (no SA — resolution
-    # goes through corrected-string re-search on the forward index). The
-    # second index of Bowtie1's double-indexing strategy, enabling the
-    # half-and-half mismatch case split for short-segment search
-    # (ops/beam.py; role of bowtie-build's .rev.ebwt files, the engine
-    # reference src/tophat.py:2339-2344 shells out to).
-    mir_bwt: Any = dataclasses.field(
-        default_factory=lambda: np.zeros(0, np.uint32))
-    mir_occ_ck: Any = dataclasses.field(
-        default_factory=lambda: np.zeros((0, 4), np.int32))
-    mir_occ_mid: Any = dataclasses.field(
-        default_factory=lambda: np.zeros((0, 4), np.uint8))
-    mir_primary: Any = dataclasses.field(
-        default_factory=lambda: np.int32(0))
-
-    @property
-    def has_mirror(self) -> bool:
-        return np.asarray(self.mir_bwt).size > 0
 
     @property
     def nbytes(self) -> int:
@@ -132,10 +114,7 @@ class FMIndex:
             kmer_hi=put(self.kmer_hi), sa_marks=put(self.sa_marks),
             sa_mark_ck=put(self.sa_mark_ck),
             sa_mark_mid=put(self.sa_mark_mid),
-            sa_samples=put(self.sa_samples),
-            mir_bwt=put(self.mir_bwt), mir_occ_ck=put(self.mir_occ_ck),
-            mir_occ_mid=put(self.mir_occ_mid),
-            mir_primary=put(self.mir_primary))
+            sa_samples=put(self.sa_samples))
 
     def save(self, path: str) -> None:
         np.savez(
@@ -152,10 +131,6 @@ class FMIndex:
             sa_mark_ck=np.asarray(self.sa_mark_ck),
             sa_mark_mid=np.asarray(self.sa_mark_mid),
             sa_samples=np.asarray(self.sa_samples),
-            mir_bwt=np.asarray(self.mir_bwt),
-            mir_occ_ck=np.asarray(self.mir_occ_ck),
-            mir_occ_mid=np.asarray(self.mir_occ_mid),
-            mir_primary=np.asarray(self.mir_primary),
             n=self.n, kmer_k=self.kmer_k, sa_rate=self.sa_rate,
             has_n=self.has_n)
 
@@ -173,10 +148,6 @@ class FMIndex:
             sa_mark_ck=get("sa_mark_ck", np.zeros(0, np.int32)),
             sa_mark_mid=get("sa_mark_mid", np.zeros(0, np.uint8)),
             sa_samples=get("sa_samples", np.zeros(0, np.int32)),
-            mir_bwt=get("mir_bwt", np.zeros(0, np.uint32)),
-            mir_occ_ck=get("mir_occ_ck", np.zeros((0, 4), np.int32)),
-            mir_occ_mid=get("mir_occ_mid", np.zeros((0, 4), np.uint8)),
-            mir_primary=get("mir_primary", np.int32(0)),
             n=int(z["n"][()]), kmer_k=int(z["kmer_k"][()]),
             sa_rate=int(get("sa_rate", np.int32(0))[()]
                         if "sa_rate" in z.files else 0),
@@ -260,10 +231,20 @@ def _occ_tables(bwt: np.ndarray, m: int):
     return occ_ck, occ_mid
 
 
+def default_kmer_k(n: int) -> int:
+    """Seed-table k for an in-process index build: large enough that
+    k-mer SA intervals are O(1) wide on an n-base text (and that the
+    variant split-pair family in ops/beam.py can run), small enough that
+    the 2 * 4^k int32 table stays a sliver of the index itself. 0 below
+    the beam threshold — tiny genomes search fine without a table."""
+    if n < (1 << 21):
+        return 0
+    return int(np.clip(int(np.log(max(n, 4)) / np.log(4)) - 1, 8, 14))
+
+
 def build_fm_index(genome: Genome | np.ndarray,
                    kmer_k: int = 0, sa_rate: int = 0,
-                   sa: np.ndarray | None = None,
-                   mirror: bool = False) -> FMIndex:
+                   sa: np.ndarray | None = None) -> FMIndex:
     """Build the FM-index of a genome's forward strand on the host.
 
     Reverse-strand alignment is done by searching the reverse complement of
@@ -274,9 +255,11 @@ def build_fm_index(genome: Genome | np.ndarray,
     sa: precomputed suffix array of text (N->A) with sentinel — lets
     several table variants (different kmer_k / sa_rate design points)
     build from ONE SA-IS pass, the dominant build cost at genome scale.
-    mirror=True additionally builds the reversed-text BWT + Occ tables
-    (no mirror SA) enabling the half-split short-segment beam search
-    (ops/beam.py) — a second SA-IS pass at build time."""
+
+    (Historical note: rounds 3-4 optionally built bowtie-style mirror
+    tables of the reversed text here; the split-pair mismatch case is
+    now covered by k-mer-table variant enumeration on the forward index
+    alone — ops/beam.py — so the second SA-IS pass is gone.)"""
     codes = genome.codes if isinstance(genome, Genome) else np.asarray(genome)
     codes = codes.astype(np.int8)
     text = np.where(codes == 4, 0, codes).astype(np.int8)  # N -> A in FM text
@@ -295,20 +278,6 @@ def build_fm_index(genome: Genome | np.ndarray,
     # Blocked: per-32-base counts in uint8 (1 B/base scratch), not the old
     # 16 B/base one-hot — required at whole-genome scale.
     occ_ck, occ_mid = _occ_tables(bwt, m)
-
-    if mirror:
-        text_rev = text[::-1].copy()
-        sa_rev = suffix_array(text_rev)
-        bwt_rev, mir_primary = bwt_from_sa(text_rev, sa_rev)
-        del sa_rev
-        mir_occ_ck, mir_occ_mid = _occ_tables(bwt_rev, m)
-        mir_bwt = pack_2bit(bwt_rev)
-        del bwt_rev
-    else:
-        mir_bwt = np.zeros(0, np.uint32)
-        mir_occ_ck = np.zeros((0, 4), np.int32)
-        mir_occ_mid = np.zeros((0, 4), np.uint8)
-        mir_primary = 0
 
     # C[c] = 1 (sentinel) + #symbols < c in the text
     counts = np.bincount(text, minlength=4)[:4]
@@ -354,6 +323,4 @@ def build_fm_index(genome: Genome | np.ndarray,
         kmer_lo=kmer_lo, kmer_hi=kmer_hi,
         sa_marks=sa_marks, sa_mark_ck=sa_mark_ck, sa_mark_mid=sa_mark_mid,
         sa_samples=sa_samples, has_n=bool((codes == 4).any()),
-        n=n, kmer_k=kmer_k, sa_rate=sa_rate,
-        mir_bwt=mir_bwt, mir_occ_ck=mir_occ_ck, mir_occ_mid=mir_occ_mid,
-        mir_primary=np.int32(mir_primary))
+        n=n, kmer_k=kmer_k, sa_rate=sa_rate)

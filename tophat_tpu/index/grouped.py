@@ -78,7 +78,6 @@ def sub_genome(genome: Genome, cids: range) -> Genome:
 
 def build_grouped_fm(genome: Genome, max_bases: int = MAX_GROUP_BASES,
                      kmer_k: int = 0, sa_rate: int = 0,
-                     mirror: bool = False,
                      cache_prefix: Optional[str] = None,
                      log=None) -> GroupedFM:
     """Build (or load from <cache_prefix>.g<i>.tt.npz) one FM index per
@@ -96,7 +95,7 @@ def build_grouped_fm(genome: Genome, max_bases: int = MAX_GROUP_BASES,
         if path and os.path.exists(path):
             try:
                 fm = FMIndex.load(path)
-                if fm.n != sg.n or (mirror and not fm.has_mirror):
+                if fm.n != sg.n:
                     fm = None
             except Exception:
                 fm = None
@@ -106,8 +105,7 @@ def build_grouped_fm(genome: Genome, max_bases: int = MAX_GROUP_BASES,
             if log:
                 log(f"group {i}: building FM index over {sg.n} bases "
                     f"({len(sg.names)} contigs)")
-            fm = build_fm_index(sg, kmer_k=kmer_k, sa_rate=sa_rate,
-                                mirror=mirror)
+            fm = build_fm_index(sg, kmer_k=kmer_k, sa_rate=sa_rate)
             if path:
                 try:
                     d = os.path.dirname(path)

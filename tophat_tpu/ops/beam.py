@@ -1,4 +1,4 @@
-"""Half-split full-sensitivity short-segment alignment.
+"""Half-split + k-mer-variant full-sensitivity short-segment alignment.
 
 The pigeonhole scheme in ops/align.py is right for full reads (>= 48 bp:
 pieces are long enough that k-mer-shortened seeds have O(1)-wide SA
@@ -8,30 +8,43 @@ scale: with 3 pieces of ~8 bp, each piece's SA interval is ~16k wide on a
 (measured; scripts/beam_probe.py).
 
 This module covers the same placements as the engine the reference shells
-out to (bowtie1 -v 2 per segment, reference src/tophat.py:2339-2344) for
-every alignment whose mismatches fall within ONE half of the segment —
-all 0- and 1-mismatch placements and same-half 2-mismatch placements —
-with a much simpler plan than bowtie's double-index backtracking:
+out to (bowtie1 -v 2 per segment, reference src/tophat.py:2339-2344) —
+including the split-pair (one mismatch in each half) case bowtie reaches
+through its double index — with a search plan that is all fixed-depth
+scans, table lookups and flat gathers (the shapes TPUs like):
 
-  split the segment at its midpoint into prefix P (h chars) and suffix S;
-  an alignment with mm(S) = 0 is an occurrence of S; one with mm(P) = 0
-  is an occurrence of P.  Both halves are >= 12 chars, so their SA
-  intervals hold only ~n/4^12 occurrences (~16 + ~60 at 1 Gbp): resolve
-  EVERY occurrence of each half and verify the full segment against the
-  word-packed genome.  No backtracking, no second index — the mismatch
-  search collapses into two exact searches plus a batched verify, which
-  is exactly the shape TPUs like (two fixed-depth rank scans + flat
-  gathers).
+  1. Half seeds: split the segment at its midpoint into prefix P and
+     suffix S; an alignment with mm(S) = 0 is an exact occurrence of S,
+     one with mm(P) = 0 an occurrence of P. Both halves are >= 12 chars,
+     so their SA intervals hold only ~n/4^12 occurrences: two exact
+     backward searches cover every placement whose mismatches fall in
+     one half.
+  2. Variant seeds (the split-pair case, mm(P) = mm(S) = 1): any such
+     placement matches some k-length window of the segment exactly
+     except at enumerated positions. Windows are chosen so one of them
+     always isolates the suffix mismatch from the prefix one (a window
+     [l-k, l) plus [0, k) plus, when the two windows cannot separate a
+     mismatch pair adjacent to the midpoint, double-variants of the
+     midband); each variant's SA interval comes from ONE k-mer-table
+     lookup via key arithmetic — no rank scans at all. This replaces the
+     role of bowtie's mirror index (.rev.ebwt) at a cost of ~3k table
+     gathers per segment instead of a second index in memory.
+  3. All candidate occurrences from every family are flat-compacted,
+     resolved through the (one, forward) SA, and verified as the FULL
+     segment against the word-packed genome + N mask — so every reported
+     mm is the true mismatch count (N counts as a mismatch even inside a
+     seed window, where the FM text's N->A substitution hid it) and
+     family overlap is harmless: hits are sorted per row and exact
+     (row, pos) duplicates are dropped.
 
-The split-pair case (one mismatch in each half; bowtie's phase-3) is
-intentionally uncovered: it is ~1% of true placements on real error
-models, costs ~10x the whole search to chase through the FM index, and
-the pipeline's event realignment re-aligns whole reads against the
-discovered event table anyway, recovering reads whose segments were
-missed (pipeline/juncs.py).
-
-Verification counts N bases as mismatches (via the packed N mask), so the
-FM text's N->A substitution can never leak a bad hit.
+Sensitivity contract: for max_mismatches <= 2 (the reference's segment
+default) every placement is found for rows with length >= kmer_k + 2;
+shorter rows keep same-half-only sensitivity (at gigabase scale a
+<16 bp 2-mismatch query has thousands of placements and the reference's
+own engine truncates via -k/--maxbts there). For max_mismatches = 3 the
+same-half families are complete but mixed 2|1 splits are only partially
+covered — bowtie's own phase-3 backtrack cap (--maxbts 125) prunes the
+equivalent search.
 """
 
 from __future__ import annotations
@@ -49,118 +62,34 @@ from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
 MIN_BEAM_LEN = 10   # shortest row the half-split handles sensibly
 
 
-def _expand_grid(seg, lo, hi, w_cap: int):
-    """Expand per-seed SA intervals into a regular (n_seeds, w_cap) grid:
-    row j of seed k is SA row lo[k]+j, valid while j < width. A regular
-    grid costs some dead lanes but avoids the r_cap-wide searchsorted a
-    ragged layout needs (17 dependent gathers per lane on a 10M-lane
-    table dominated the first implementation). Returns (rows, valid,
-    ovf_seed)."""
-    width = jnp.where(seg >= 0, hi - lo, 0)
-    j = jnp.arange(w_cap, dtype=jnp.int32)[None, :]
-    rows = lo[:, None] + j
-    valid = j < width[:, None]
-    return rows, valid, width > w_cap
+def _compact(valid, K, vals):
+    """Keep the first K valid lanes in lane order via cumsum + scatter
+    (no searchsorted). vals: list of (array, fill). Returns
+    (compacted_list, kept_mask (K,), dropped_mask aligned with valid)."""
+    csum = jnp.cumsum(valid.astype(jnp.int32))
+    keep = valid & (csum <= K)
+    slot = jnp.where(keep, csum - 1, K)
+    outs = [jnp.full(K + 1, fill, v.dtype).at[slot].set(
+        jnp.where(keep, v, fill))[:K] for v, fill in vals]
+    kept = jnp.arange(K, dtype=jnp.int32) < jnp.minimum(csum[-1], K)
+    return outs, kept, valid & ~keep
 
 
-@partial(jax.jit, static_argnames=("n_steps", "max_mm", "max_hits",
-                                   "cap_s", "cap_p"))
-def _half_split_jit(fm, rows, lengths, offsets, *, n_steps: int,
-                    max_mm: int, max_hits: int, cap_s: int, cap_p: int):
-    """The whole half-split search as one device program.
-
-    rows: (B, L) left-aligned int8 codes; returns the
-    align_forward_rows contract (pos, mm, valid, n_hits, truncated).
-
-    Key cost shape: each candidate occurrence verifies ONLY its non-seed
-    half (the seed half matched exactly by construction), and the two
-    seed families are provably disjoint — a placement's mismatches are
-    either all in the prefix (suffix seed finds it) or include a suffix
-    mismatch (prefix seed finds it, gated on mm_suffix >= 1) — so no
-    cross-family dedup is needed and the final per-row packing sorts
-    only the few verified hits. cap_s/cap_p: per-seed occurrence grids
-    for the suffix/prefix families (the shorter prefix half has ~4x the
-    occurrences, so it gets the taller grid)."""
-    B, L = rows.shape
-    h = lengths // 2
-    t = jnp.arange(n_steps, dtype=jnp.int32)
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-
-    # two queries per row, right-aligned for backward_search
-    # (column n_steps-1 = the query's last char):
-    #   suffix S = q[h:l)   -> candidate pos = occ - h
-    #   prefix P = q[0:h)   -> candidate pos = occ
-    col = t[None, :]
-    sidx = lengths[:, None] - n_steps + col
-    sq = jnp.where(sidx >= h[:, None],
-                   rows[bidx, jnp.clip(sidx, 0, L - 1)], -1)
-    pidx = h[:, None] - n_steps + col
-    pq = jnp.where(pidx >= 0, rows[bidx, jnp.clip(pidx, 0, L - 1)], -1)
-    q2 = jnp.concatenate([sq, pq]).astype(jnp.int32)
-    lo, hi = backward_search(fm, q2)
-
-    ok_len = lengths >= MIN_BEAM_LEN
-    seg_ok = jnp.where(ok_len, bidx[:, 0], -1)
-
-    # non-seed half queries for verification, left-aligned + packed
-    pre_rows = jnp.where(col < h[:, None],
-                         rows[bidx, jnp.clip(col, 0, L - 1)],
-                         jnp.int8(-1))[:, :n_steps]
-    suf_rows = jnp.where(col < (lengths - h)[:, None],
-                         rows[bidx, jnp.clip(h[:, None] + col, 0, L - 1)],
-                         jnp.int8(-1))[:, :n_steps]
-    pre_packed = pack_reads(pre_rows, h)
-    suf_packed = pack_reads(suf_rows, lengths - h)
-    has_n = getattr(fm, "has_n", True)
-
-    def family(lo_f, hi_f, pos_off, vpos_off, vpk, min_mm, cap):
-        """One seed family: expand the interval grid, resolve, verify the
-        non-seed half. Returns flat (valid, pos, mm) + per-row ovf."""
-        row_g, valid_g, ovf_seed = _expand_grid(seg_ok, lo_f, hi_f, cap)
-        pos_g = resolve_sa(fm, row_g) - pos_off[:, None]
-        vp, vb, vl = vpk
-        mm_half = count_mismatches_packed(
-            fm.packed_genome, fm.n_mask, pos_g + vpos_off[:, None],
-            vp, vb, vl, L, has_n=has_n)
-        valid = (valid_g & (seg_ok >= 0)[:, None] & (mm_half <= max_mm)
-                 & (mm_half >= min_mm) & (pos_g >= 0)
-                 & (pos_g + lengths[:, None] <= fm.n))
-        valid &= same_contig(offsets, pos_g, lengths[:, None])
-        ovf = jnp.zeros(B, jnp.int32).at[jnp.clip(seg_ok, 0, B - 1)].max(
-            (ovf_seed & (seg_ok >= 0)).astype(jnp.int32)) > 0
-        return valid, pos_g, mm_half, ovf
-
-    z = jnp.zeros(B, jnp.int32)
-    v_s, p_s, m_s, ovf_s = family(lo[:B], hi[:B], h, z, pre_packed,
-                                  0, cap_s)
-    v_p, p_p, m_p, ovf_p = family(lo[B:], hi[B:], z, h, suf_packed,
-                                  1, cap_p)        # disjointness: mm >= 1
-    ovf = ovf_s | ovf_p
-
-    # compact the (few) verified hits, then sort the small set per row
-    R2 = B * 6
-    seg_rows = jnp.broadcast_to(bidx, (B, cap_s)).reshape(-1)
-    seg_rows2 = jnp.broadcast_to(bidx, (B, cap_p)).reshape(-1)
-    segc = jnp.concatenate([seg_rows, seg_rows2])
-    flat_valid = jnp.concatenate([v_s.reshape(-1), v_p.reshape(-1)])
-    flat_pos = jnp.concatenate([p_s.reshape(-1), p_p.reshape(-1)])
-    flat_mm = jnp.concatenate([m_s.reshape(-1), m_p.reshape(-1)])
-    csum2 = jnp.cumsum(flat_valid.astype(jnp.int32))
-    n_valid = csum2[-1]
-    src2 = jnp.minimum(jnp.searchsorted(
-        csum2, jnp.arange(1, R2 + 1, dtype=jnp.int32)),
-        flat_valid.shape[0] - 1)
-    kept2 = jnp.arange(R2, dtype=jnp.int32) < jnp.minimum(n_valid, R2)
-    c_seg = jnp.where(kept2, segc[src2], B)
-    c_pos = jnp.where(kept2, flat_pos[src2], 0)
-    c_mm = jnp.where(kept2, flat_mm[src2], 0)
-    ovf |= jnp.zeros(B, jnp.int32).at[segc].max(
-        (flat_valid & (csum2 > R2)).astype(jnp.int32)) > 0
-
-    s_seg, s_pos, s_mm = jax.lax.sort((c_seg, c_pos, c_mm), num_keys=2)
-    first = jnp.searchsorted(s_seg, s_seg, side="left")
-    slot = jnp.arange(R2, dtype=jnp.int32) - first.astype(jnp.int32)
-    ok = (s_seg < B) & (slot < max_hits)
+def _pack_rows(seg, pos, mm, B: int, max_hits: int):
+    """Flat verified hits -> (B, max_hits) tables sorted by pos with
+    exact (row, pos) duplicates dropped. seg == B marks dead lanes."""
+    R = seg.shape[0]
+    s_seg, s_pos, s_mm = jax.lax.sort((seg, pos, mm), num_keys=2)
+    prev_seg = jnp.concatenate([jnp.full(1, -1, s_seg.dtype), s_seg[:-1]])
+    prev_pos = jnp.concatenate([jnp.full(1, -1, s_pos.dtype), s_pos[:-1]])
+    dup = (s_seg == prev_seg) & (s_pos == prev_pos)
+    keep = (s_seg < B) & ~dup
+    P = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(keep.astype(jnp.int32))])
+    first = jnp.searchsorted(s_seg, s_seg, side="left").astype(jnp.int32)
+    idx = jnp.arange(R, dtype=jnp.int32)
+    slot = P[idx] - P[first]          # kept lanes before i in i's row
+    ok = keep & (slot < max_hits)
     row_i = jnp.where(ok, s_seg, B)
     col_i = jnp.clip(slot, 0, max_hits - 1)
     pos_t = jnp.zeros((B, max_hits), jnp.int32).at[
@@ -170,34 +99,285 @@ def _half_split_jit(fm, rows, lengths, offsets, *, n_steps: int,
     val_t = jnp.zeros((B, max_hits), bool).at[
         (row_i, col_i)].set(True, mode="drop")
     n_hits = jnp.zeros(B, jnp.int32).at[jnp.clip(s_seg, 0, B - 1)].add(
-        (s_seg < B).astype(jnp.int32), mode="drop")
-    trunc = ovf | (n_hits > max_hits)
-    return pos_t, mm_t.astype(jnp.int8), val_t, n_hits, trunc
+        keep.astype(jnp.int32), mode="drop")
+    return pos_t, mm_t.astype(jnp.int8), val_t, n_hits
+
+
+def _variant_intervals(fm, rows, lengths, h, seg_ok, *, K: int, nsw: int,
+                       h_max: int, pa_cap: int, pb_cap: int):
+    """SA intervals of every enumerated window variant, via k-mer-table
+    key arithmetic. Returns (lo, hi, pos_off, band_short) with lo/hi/
+    pos_off of shape (B, NV); pos_off is the window start (candidate
+    segment position = occurrence - pos_off); band_short flags rows
+    whose midband exceeds the static double-variant caps."""
+    B, L = rows.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    # window slots: 0 = W [0, K); 1..nsw-1 = suffix [h + t*K, +K);
+    # nsw = tail [l-K, l)
+    t = jnp.arange(max(nsw - 1, 0), dtype=jnp.int32)
+    starts = jnp.concatenate([
+        jnp.zeros((B, 1), jnp.int32),
+        h[:, None] + t[None, :] * K,
+        (lengths - K)[:, None]], axis=1)                    # (B, NS)
+    NS = nsw + 1
+    act = jnp.concatenate([
+        ((lengths - K) < h)[:, None],                       # W needed only
+        (h[:, None] + (t[None, :] + 1) * K) <= lengths[:, None],
+        jnp.ones((B, 1), bool)], axis=1)
+    act &= ((lengths >= K + 2) & (seg_ok >= 0))[:, None]
+    src = starts[:, :, None] + jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    wchars = rows[bidx, jnp.clip(src, 0, L - 1)].astype(jnp.int32)
+    wok = act & jnp.all((wchars >= 0) & (wchars <= 3), axis=2) \
+        & (starts >= 0)
+    pw = (4 ** (K - 1 - np.arange(K, dtype=np.int64))).astype(np.int32)
+    pw = jnp.asarray(pw)
+    key = jnp.sum(jnp.clip(wchars, 0, 3) * pw[None, None, :], axis=2)
+
+    keys_v, off_v, ok_v = [], [], []
+
+    def add(k, o, v):
+        keys_v.append(k.reshape(B, -1))
+        off_v.append(o.reshape(B, -1))
+        ok_v.append(v.reshape(B, -1))
+
+    a3 = jnp.arange(3, dtype=jnp.int32)
+    # W singles: prefix positions p < h
+    if h_max:
+        p = jnp.arange(h_max, dtype=jnp.int32)
+        cw = wchars[:, 0, :]                                # (B, K)
+        c0 = cw[:, jnp.minimum(p, K - 1)]                   # (B, h_max)
+        cvar = (c0[:, :, None] + 1 + a3[None, None, :]) % 4
+        delta = (cvar - c0[:, :, None]) * pw[jnp.minimum(p, K - 1)][
+            None, :, None]
+        vv = (wok[:, 0:1] & (p[None, :] < jnp.minimum(h, K)[:, None])
+              )[:, :, None] & jnp.ones((1, 1, 3), bool)
+        add(key[:, 0:1, None] + delta, jnp.broadcast_to(
+            starts[:, 0:1, None], delta.shape), vv)
+    # suffix-window singles: any window position that is a suffix position
+    p = jnp.arange(K, dtype=jnp.int32)
+    for s in range(1, NS):
+        cs = wchars[:, s, :]
+        cvar = (cs[:, :, None] + 1 + a3[None, None, :]) % 4
+        delta = (cvar - cs[:, :, None]) * pw[None, :, None]
+        in_suffix = (starts[:, s:s + 1] + p[None, :]) >= h[:, None]
+        vv = (wok[:, s:s + 1] & in_suffix)[:, :, None] \
+            & jnp.ones((1, 1, 3), bool)
+        add(key[:, s:s + 1, None] + delta, jnp.broadcast_to(
+            starts[:, s:s + 1, None], delta.shape), vv)
+    # midband doubles on the tail window: i = (l-K)+pa in the prefix,
+    # j = h+pb in the suffix with j < K (the pair neither [0,K) nor
+    # [l-K, l) can isolate)
+    band_short = jnp.zeros(B, bool)
+    if pa_cap and pb_cap:
+        tail = NS - 1
+        pa = jnp.arange(pa_cap, dtype=jnp.int32)
+        pb = jnp.arange(pb_cap, dtype=jnp.int32)
+        pj = (h - (lengths - K))[:, None] + pb[None, :]     # tail coords
+        cA = wchars[:, tail, :][:, jnp.minimum(pa, K - 1)]  # (B, pa)
+        cB = jnp.take_along_axis(wchars[:, tail, :],
+                                 jnp.clip(pj, 0, K - 1), axis=1)
+        band_on = (lengths - K) < h
+        okA = band_on[:, None] & (((lengths - K)[:, None] + pa[None, :])
+                                  < h[:, None])
+        okB = band_on[:, None] & ((h[:, None] + pb[None, :]) < K) \
+            & (pj >= 0) & (pj < K)
+        dA = (((cA[:, :, None] + 1 + a3[None, None, :]) % 4
+               - cA[:, :, None])
+              * pw[jnp.minimum(pa, K - 1)][None, :, None])  # (B,pa,3)
+        dB = (((cB[:, :, None] + 1 + a3[None, None, :]) % 4
+               - cB[:, :, None])
+              * jnp.take(pw, jnp.clip(pj, 0, K - 1))[:, :, None])
+        kd = (key[:, tail, None, None, None, None]
+              + dA[:, :, None, :, None] + dB[:, None, :, None, :])
+        vd = (wok[:, tail, None, None, None, None]
+              & okA[:, :, None, None, None] & okB[:, None, :, None, None]
+              & jnp.ones((1, 1, 1, 3, 3), bool))
+        od = jnp.broadcast_to(
+            (lengths - K)[:, None, None, None, None], kd.shape)
+        add(kd, od, vd)
+        band_short = band_on & (
+            ((h - (lengths - K)) > pa_cap) | ((K - h) > pb_cap))
+
+    keyv = jnp.concatenate(keys_v, axis=1)
+    offv = jnp.concatenate(off_v, axis=1)
+    okv = jnp.concatenate(ok_v, axis=1)
+    tbl_n = fm.kmer_lo.shape[0]
+    kc = jnp.clip(keyv, 0, tbl_n - 1)
+    lo = jnp.where(okv, jnp.asarray(fm.kmer_lo)[kc], 0)
+    hi = jnp.where(okv, jnp.asarray(fm.kmer_hi)[kc], 0)
+    return lo, hi, offv, band_short
+
+
+def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
+               max_hits: int, cap_s: int, cap_p: int, cap_v: int,
+               spc1: int, split_pair: bool, nsw: int, h_max: int,
+               pa_cap: int, pb_cap: int, owned_width: int = 0,
+               flat_out: bool = False):
+    """The whole search as one device program; see module docstring.
+
+    owned_width > 0 (genome-sharded use): candidates starting at or past
+    it are dropped before packing. flat_out returns the pre-pack flat
+    (seg, pos, mm) lanes (K2,) plus (n/a, trunc) so the sharded caller
+    can merge shards before the final per-row sort."""
+    B, L = rows.shape
+    h = lengths // 2
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    col = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+
+    # exact half seeds, right-aligned for backward_search
+    sidx = lengths[:, None] - n_steps + col
+    sq = jnp.where(sidx >= h[:, None],
+                   rows[bidx, jnp.clip(sidx, 0, L - 1)], -1)
+    pidx = h[:, None] - n_steps + col
+    pq = jnp.where(pidx >= 0, rows[bidx, jnp.clip(pidx, 0, L - 1)], -1)
+    lo2, hi2 = backward_search(
+        fm, jnp.concatenate([sq, pq]).astype(jnp.int32))
+
+    ok_len = lengths >= MIN_BEAM_LEN
+    seg_ok = jnp.where(ok_len, jnp.arange(B, dtype=jnp.int32), -1)
+    segi = jnp.arange(B, dtype=jnp.int32)[:, None]
+    trunc = jnp.zeros(B, bool)
+
+    lanes = []   # (sa_row, seg, pos_off, valid) flattened per family
+
+    def family(lo_f, hi_f, off_f, cap):
+        nonlocal trunc
+        width = jnp.where((seg_ok >= 0)[..., None] if lo_f.ndim > 1
+                          else seg_ok >= 0, hi_f - lo_f, 0)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        sa_rows = lo_f[..., None] + j
+        valid = j < width[..., None]
+        shp = sa_rows.shape
+        segf = jnp.broadcast_to(
+            segi.reshape((B,) + (1,) * (len(shp) - 1)), shp)
+        offf = jnp.broadcast_to(off_f[..., None], shp)
+        lanes.append((sa_rows.reshape(-1), segf.reshape(-1),
+                      offf.reshape(-1), valid.reshape(-1)))
+        trunc |= (width > cap).reshape(B, -1).any(axis=1)
+
+    family(lo2[:B], hi2[:B], h, cap_s)                  # suffix-exact
+    family(lo2[B:], hi2[B:], jnp.zeros(B, jnp.int32), cap_p)  # prefix
+    if split_pair:
+        vlo, vhi, voff, band_short = _variant_intervals(
+            fm, rows, lengths, h, seg_ok, K=fm.kmer_k, nsw=nsw,
+            h_max=h_max, pa_cap=pa_cap, pb_cap=pb_cap)
+        family(vlo, vhi, voff, cap_v)
+        trunc |= band_short
+
+    sa_all = jnp.concatenate([x[0] for x in lanes])
+    seg_all = jnp.concatenate([x[1] for x in lanes])
+    off_all = jnp.concatenate([x[2] for x in lanes])
+    valid_all = jnp.concatenate([x[3] for x in lanes])
+
+    K1 = B * spc1
+    (sel_sa, sel_seg, sel_off), kept, dropped = _compact(
+        valid_all, K1, [(sa_all, 0), (seg_all, B), (off_all, 0)])
+    trunc |= jnp.zeros(B, jnp.int32).at[
+        jnp.clip(seg_all, 0, B - 1)].max(
+        dropped.astype(jnp.int32), mode="drop") > 0
+
+    pos = resolve_sa(fm, sel_sa) - sel_off
+    r_packed, bad_e, len_e = pack_reads(rows, lengths)
+    seg_c = jnp.clip(sel_seg, 0, B - 1)
+    mm = count_mismatches_packed(
+        fm.packed_genome, fm.n_mask, pos[None, :],
+        jnp.take(r_packed, seg_c, axis=0)[None],
+        jnp.take(bad_e, seg_c, axis=0)[None],
+        jnp.take(len_e, seg_c, axis=0)[None], L,
+        has_n=getattr(fm, "has_n", True))[0]
+    len_l = jnp.take(lengths, seg_c)
+    ok = (kept & (mm <= max_mm) & (pos >= 0)
+          & (pos + len_l <= fm.n)
+          & same_contig(offsets, pos, len_l))
+    if owned_width:
+        ok &= pos < owned_width
+
+    K2 = B * max(8, max_hits)
+    (f_seg, f_pos, f_mm), kept2, dropped2 = _compact(
+        ok, K2, [(sel_seg, B), (pos, jnp.int32(2 ** 30)), (mm, 0)])
+    trunc |= jnp.zeros(B, jnp.int32).at[seg_c].max(
+        dropped2.astype(jnp.int32), mode="drop") > 0
+    if flat_out:
+        return f_seg, f_pos, f_mm, trunc
+
+    pos_t, mm_t, val_t, n_hits = _pack_rows(f_seg, f_pos, f_mm, B,
+                                            max_hits)
+    trunc |= n_hits > max_hits
+    return pos_t, mm_t, val_t, n_hits, trunc
+
+
+@partial(jax.jit, static_argnames=(
+    "n_steps", "max_mm", "max_hits", "cap_s", "cap_p", "cap_v", "spc1",
+    "split_pair", "nsw", "h_max", "pa_cap", "pb_cap"))
+def _beam_jit(fm, rows, lengths, offsets, *, n_steps, max_mm, max_hits,
+              cap_s, cap_p, cap_v, spc1, split_pair, nsw, h_max, pa_cap,
+              pb_cap):
+    return _beam_core(fm, rows, lengths, offsets, n_steps=n_steps,
+                      max_mm=max_mm, max_hits=max_hits, cap_s=cap_s,
+                      cap_p=cap_p, cap_v=cap_v, spc1=spc1,
+                      split_pair=split_pair, nsw=nsw, h_max=h_max,
+                      pa_cap=pa_cap, pb_cap=pb_cap)
+
+
+def beam_plan(fm, L: int, lengths_np, max_mismatches: int):
+    """Static search-plan parameters for a batch: grid caps sized from
+    expected Poisson interval widths (mean + 6 sigma covers the tail to
+    ~1e-9 per seed; genuine repeat families overflow any cap and flag
+    `truncated` instead) and the variant-window layout from the batch's
+    min/max row lengths."""
+    def cap(mu, lo, hi, pad):
+        return int(np.clip(mu + 6 * np.sqrt(mu) + pad, lo, hi))
+
+    n_steps = (L + 1) // 2 + 1
+    cap_s = cap(fm.n / 4 ** (L - L // 2), 16, 512, 8)
+    cap_p = cap(fm.n / 4 ** (L // 2), 16, 512, 8)
+    K = getattr(fm, "kmer_k", 0)
+    split_pair = bool(
+        max_mismatches >= 2 and K >= 6
+        and np.asarray(fm.kmer_lo).shape[0] > 0 and L >= K + 2)
+    nsw = h_max = pa_cap = pb_cap = 0
+    cap_v = 8
+    nv = 0
+    if split_pair:
+        h_max = L // 2
+        m_max = L - L // 2
+        nsw = max(1, -(-(m_max - K) // K) + 1) if m_max > K else 1
+        lens = lengths_np[lengths_np >= K + 2]
+        lmin = int(lens.min()) if len(lens) else L
+        pa_cap = int(np.clip(K - (lmin + 1) // 2, 0, 4))
+        pb_cap = int(np.clip(K - lmin // 2, 0, 4))
+        cap_v = cap(fm.n / 4 ** K, 6, 64, 6)
+        nv = 3 * h_max + 3 * K * nsw + 9 * pa_cap * pb_cap
+    mu_base = fm.n / 4 ** (L // 2) + fm.n / 4 ** (L - L // 2)
+    exp = mu_base + nv * fm.n / 4 ** max(K, 1) if split_pair else mu_base
+    spc1 = int(np.clip(exp * 1.5 + 48, 64, 4096))
+    return dict(n_steps=n_steps, max_mm=max_mismatches, cap_s=cap_s,
+                cap_p=cap_p, cap_v=cap_v, spc1=spc1,
+                split_pair=split_pair, nsw=nsw, h_max=h_max,
+                pa_cap=pa_cap, pb_cap=pb_cap)
 
 
 def beam_align_rows(fm, rows, lengths, offsets, *, max_mismatches: int,
-                    max_hits: int, cap_s: int = 0, cap_p: int = 0):
+                    max_hits: int):
     """Drop-in for ops.align.align_forward_rows on short rows, with full
-    same-half mismatch sensitivity at any genome size.
+    bowtie1 -v mismatch sensitivity at any genome size (see module
+    docstring for the exact contract). Row-sharded over an active mesh
+    (parallel/auto.py); with a range-sharded index the search runs
+    per-shard with ownership filtering (parallel/shard_fm.py)."""
+    from tophat_tpu.parallel import auto
 
-    cap_s / cap_p: per-seed occurrence grids for the suffix/prefix seed
-    families; a half whose SA interval overflows its grid flags the row
-    truncated (repeat-family halves). Defaults scale with genome size:
-    ~3x the expected interval width n/4^len_half, floored/capped to keep
-    the grids TPU-friendly."""
-    rows = jnp.asarray(rows)
-    lengths = jnp.asarray(lengths, jnp.int32)
+    rows = np.asarray(rows)
+    lengths = np.asarray(lengths, np.int32)
     B, L = rows.shape
-    n_steps = (L + 1) // 2 + 1
-    # expected interval width is Poisson(n / 4^half_len) on random text;
-    # mean + 6*sqrt(mean) covers the tail to ~1e-9 per seed. Genuine
-    # repeat families exceed any cap and flag `truncated` instead.
-    if cap_s <= 0:
-        mu = fm.n / 4 ** (L - L // 2)
-        cap_s = int(np.clip(mu + 6 * np.sqrt(mu) + 8, 16, 512))
-    if cap_p <= 0:
-        mu = fm.n / 4 ** (L // 2)
-        cap_p = int(np.clip(mu + 6 * np.sqrt(mu) + 8, 16, 512))
-    return _half_split_jit(fm, rows, lengths, jnp.asarray(offsets),
-                           n_steps=n_steps, max_mm=max_mismatches,
-                           max_hits=max_hits, cap_s=cap_s, cap_p=cap_p)
+    plan = beam_plan(fm, L, lengths, max_mismatches)
+    if auto.active() is not None and auto.genome_sharded(fm):
+        return auto.sharded_beam_rows(rows, lengths, offsets,
+                                      max_hits=max_hits, plan=plan)
+    if auto.active() is not None:
+        (rd, ln), B0 = auto.shard_rows(rows, lengths)
+        out = _beam_jit(auto.replicated(fm), rd, ln,
+                        auto.replicated(np.asarray(offsets)),
+                        max_hits=max_hits, **plan)
+        return tuple(np.asarray(a)[:B0] for a in out)
+    return _beam_jit(fm, jnp.asarray(rows), jnp.asarray(lengths),
+                     jnp.asarray(offsets), max_hits=max_hits, **plan)

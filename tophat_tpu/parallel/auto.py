@@ -158,13 +158,16 @@ def configure_genome_axis(fm, genome, max_read_len: int, log=None) -> None:
 
 
 def _gshard_fn(kind: str, **kw):
-    key = (kind, tuple(sorted(kw.items())))
+    key = (kind, tuple(sorted(
+        (k, tuple(sorted(v.items())) if isinstance(v, dict) else v)
+        for k, v in kw.items())))
     fn = _GSHARD["fns"].get(key)
     if fn is None:
         from tophat_tpu.parallel import shard_fm
 
-        make = (shard_fm.make_sharded_align if kind == "full"
-                else shard_fm.make_sharded_align_rows)
+        make = {"full": shard_fm.make_sharded_align,
+                "rows": shard_fm.make_sharded_align_rows,
+                "beam": shard_fm.make_sharded_beam_rows}[kind]
         fn = make(_MESH, owned_width=_GSHARD["owned_width"], **kw)
         _GSHARD["fns"][key] = fn
         if len(_GSHARD["fns"]) > 32:
@@ -198,6 +201,16 @@ def sharded_align_rows(reads, lengths, offsets, *, max_mismatches,
     Returns (pos, mm, valid, n_hits, truncated) numpy arrays."""
     fn = _gshard_fn("rows", max_mismatches=max_mismatches,
                     hits_per_seed=hits_per_seed, max_hits=max_hits)
+    (rd, ln), B = shard_rows(reads, lengths)
+    out = fn(_GSHARD["fm"], _GSHARD["starts"],
+             replicated(np.asarray(offsets)), rd, ln)
+    return tuple(np.asarray(a)[:B] for a in out)
+
+
+def sharded_beam_rows(reads, lengths, offsets, *, max_hits, plan):
+    """Half-split + variant (full-sensitivity) segment search against the
+    range-sharded index (ops/beam.py semantics). Returns numpy arrays."""
+    fn = _gshard_fn("beam", max_hits=max_hits, plan=plan)
     (rd, ln), B = shard_rows(reads, lengths)
     out = fn(_GSHARD["fm"], _GSHARD["starts"],
              replicated(np.asarray(offsets)), rd, ln)

@@ -175,3 +175,51 @@ def make_sharded_align_rows(mesh, *, owned_width: int, max_mismatches: int,
         out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
                    P(READS_AXIS), P(READS_AXIS)))
     return jax.jit(fn)
+
+
+def make_sharded_beam_rows(mesh, *, owned_width: int, max_hits: int,
+                           plan: dict):
+    """Half-split + variant (full -v sensitivity) segment search against
+    the range-sharded index: each genome shard runs the beam core over
+    its sub-index with local ownership filtering, flat verified hits
+    all_gather over the genome axis, and one shared per-row sort/dedup
+    pack — results bit-identical to the single-index beam (ops/beam.py).
+    fn(fm_stacked, shard_starts, offsets, reads, lengths) ->
+    (pos, mm, valid, n_hits, truncated)."""
+    from tophat_tpu.ops.beam import _beam_core, _pack_rows
+
+    def local(fm, starts, offsets, reads, lengths):
+        fm1 = jax.tree_util.tree_map(lambda x: x[0], fm)
+        start = starts[0]
+        B = reads.shape[0]
+        local_off = jnp.asarray([0, fm1.n], jnp.int32)
+        f_seg, f_pos, f_mm, trunc = _beam_core(
+            fm1, reads, lengths, local_off, max_hits=max_hits,
+            owned_width=owned_width, flat_out=True, **plan)
+        gpos = jnp.where(f_seg < B, f_pos + start.astype(f_pos.dtype),
+                         f_pos)
+        # re-check the real contig bounds after rebasing (the local
+        # search only saw the one padded shard contig)
+        from tophat_tpu.ops.verify import same_contig
+
+        len_l = jnp.take(jnp.concatenate([lengths, jnp.zeros(1,
+                         lengths.dtype)]), jnp.minimum(f_seg, B))
+        ok = (f_seg < B) & same_contig(offsets, gpos, len_l)
+        f_seg = jnp.where(ok, f_seg, B)
+        gpos = jnp.where(ok, gpos, jnp.int32(2 ** 30))
+        seg_g = jax.lax.all_gather(f_seg, GENOME_AXIS, axis=0, tiled=True)
+        pos_g = jax.lax.all_gather(gpos, GENOME_AXIS, axis=0, tiled=True)
+        mm_g = jax.lax.all_gather(f_mm, GENOME_AXIS, axis=0, tiled=True)
+        pos_t, mm_t, val_t, n_hits = _pack_rows(seg_g, pos_g, mm_g, B,
+                                                max_hits)
+        trunc = jax.lax.psum(trunc.astype(jnp.int32), GENOME_AXIS) > 0
+        trunc |= n_hits > max_hits
+        return pos_t, mm_t, val_t, n_hits, trunc
+
+    fn = shard_map(
+        local, mesh,
+        in_specs=(P(GENOME_AXIS), P(GENOME_AXIS), P(), P(READS_AXIS),
+                  P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                   P(READS_AXIS), P(READS_AXIS)))
+    return jax.jit(fn)

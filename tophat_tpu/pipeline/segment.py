@@ -110,11 +110,11 @@ def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
 
     engine: "pigeonhole" (ops/align.py — exact only while piece SA
     intervals fit hits_per_seed, i.e. small genomes), "beam" (ops/beam.py
-    half-split double-index search — full same-half sensitivity at any
-    genome size, the bowtie1 -v strategy), or "auto" (beam whenever the
-    index carries mirror tables, the genome is large enough for pigeonhole
-    truncation to lose placements, and every segment is long enough for
-    the half split).
+    half-split + k-mer-variant search — full bowtie1 -v sensitivity at
+    any genome size), or "auto" (beam whenever the genome is large enough
+    for pigeonhole truncation to lose placements and every segment is
+    long enough for the half split; runs on single devices, row-sharded
+    meshes and the range-sharded index alike).
 
     Returns (seg_pos, seg_mm, seg_valid): (2R, S, H) tables in genome order.
     """
@@ -138,11 +138,7 @@ def map_segments(fm, offsets, gs: GenomeSpaceReads, *,
     min_seg = int(seg_len_tbl[seg_len_tbl > 0].min()) \
         if rows and (seg_len_tbl > 0).any() else 0
     use_beam = engine == "beam" or (
-        engine == "auto"
-        and fm.n >= BEAM_MIN_N and min_seg >= 10
-        and auto.active() is None)  # mesh path row-shards the pigeonhole
-    #                                 engine; half-split sharding is
-    #                                 future work
+        engine == "auto" and fm.n >= BEAM_MIN_N and min_seg >= 10)
     if use_beam:
         from tophat_tpu.ops.beam import beam_align_rows
 
