@@ -135,6 +135,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report-secondary-alignments", action="store_true",
                    help="also report alignments scoring below the best "
                         "tier (up to max-multihits)")
+    p.add_argument("--rg-id", default="", help="read group ID (emits the "
+                   "@RG header line and RG:Z tags; requires --rg-sample)")
+    p.add_argument("--rg-sample", default="", help="read group sample (SM)")
+    p.add_argument("--rg-library", default="", help="read group library (LB)")
+    p.add_argument("--rg-description", default="",
+                   help="read group description (DS)")
+    p.add_argument("--rg-platform-unit", default="",
+                   help="read group platform unit (PU)")
+    p.add_argument("--rg-platform", default="",
+                   help="read group sequencing platform (PL)")
+    p.add_argument("--rg-center", default="",
+                   help="read group sequencing center (CN)")
+    p.add_argument("--rg-date", default="", help="read group run date (DT)")
+    p.add_argument("--no-gtf-juncs", action="store_true",
+                   help="do not auto-accept junctions from -G/--GTF: "
+                        "annotated junctions must pass the same support "
+                        "filter as novel ones (reference: tophat.py:94 — "
+                        "skips the gtf_juncs known-junction stage)")
+    p.add_argument("-T", "--transcriptome-only", action="store_true",
+                   help="map reads only to the -G transcriptome; no "
+                        "genomic mapping or novel junction discovery")
+    p.add_argument("-x", "--transcriptome-max-hits", type=int, default=60,
+                   help="reads with more transcriptome mappings than this "
+                        "are discarded")
+    p.add_argument("--integer-quals", action="store_true",
+                   help="qualities are space-delimited integers "
+                        "(phred values), not ASCII")
+    p.add_argument("--fusion-ignore-chromosomes", default="",
+                   help="comma-separated contig names to exclude from "
+                        "fusion break point detection (e.g. chrM)")
+    p.add_argument("--fusion-multireads", type=int, default=2,
+                   help="reads mapping to more than this many places do "
+                        "not count as fusion support")
+    p.add_argument("--fusion-multipairs", type=int, default=2,
+                   help="pairs mapping to more than this many places do "
+                        "not count as fusion pair support")
+    p.add_argument("--read-realign-edit-dist", type=int, default=None,
+                   help="realign reads whose best contiguous alignment "
+                        "has at least this edit distance through the "
+                        "spliced stages too (default: read-edit-dist + 1, "
+                        "i.e. never)")
     p.add_argument("--library-type", default="fr-unstranded",
                    choices=["fr-unstranded", "fr-firststrand",
                             "fr-secondstrand"],
@@ -234,18 +275,14 @@ def load_known_events(genome, ins_path, del_path, juncs_path):
 
 
 def _index_design_point(big: bool):
-    """(kmer_k, sa_rate, mirror) for in-process index builds. Defaults:
-    k=13 seed table + 1/4-sampled SA beyond 256 Mbp (conservative HBM
+    """(kmer_k, sa_rate) for in-process index builds. Defaults: k=13
+    seed table + 1/4-sampled SA beyond 256 Mbp (conservative HBM
     footprint; PERF.md's sweep shows k=14/sa_rate=2 is ~26% faster at
-    1 Gbp when the extra ~2.5 GiB HBM is available) + mirror tables for
-    the segment beam search (ops/beam.py). Overridable with
-    $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE / $TOPHAT_TPU_MIRROR."""
+    1 Gbp when the extra ~2.5 GiB HBM is available). Overridable with
+    $TOPHAT_TPU_KMER_K / $TOPHAT_TPU_SA_RATE."""
     kk = int(os.environ.get("TOPHAT_TPU_KMER_K", 13 if big else 0))
     sr = int(os.environ.get("TOPHAT_TPU_SA_RATE", 4 if big else 0))
-    # mirror tables are optional (the half-split segment engine resolves
-    # through the forward SA); $TOPHAT_TPU_MIRROR=1 builds them anyway
-    mir = bool(int(os.environ.get("TOPHAT_TPU_MIRROR", 0)))
-    return kk, sr, mir
+    return kk, sr
 
 
 def main(argv=None, resume=False):
@@ -278,6 +315,9 @@ def main(argv=None, resume=False):
         return main(orig, resume=True)
 
     args = build_parser().parse_args(argv)
+    if bool(args.rg_id) != bool(args.rg_sample):
+        raise SystemExit("Error: --rg-id and --rg-sample must be "
+                         "specified or omitted together")
 
     from tophat_tpu.index.fasta import read_fasta
     from tophat_tpu.pipeline.params import Params
@@ -324,7 +364,25 @@ def main(argv=None, resume=False):
         v2_sam=args.v2_sam,
         no_sort_bam=args.no_sort_bam,
         no_convert_bam=args.no_convert_bam,
+        rg_id=args.rg_id, rg_sample=args.rg_sample,
+        rg_library=args.rg_library, rg_description=args.rg_description,
+        rg_platform_unit=args.rg_platform_unit,
+        rg_platform=args.rg_platform, rg_center=args.rg_center,
+        rg_date=args.rg_date,
+        transcriptome_only=args.transcriptome_only,
+        transcriptome_max_hits=args.transcriptome_max_hits,
+        integer_quals=args.integer_quals,
+        fusion_ignore_chromosomes=args.fusion_ignore_chromosomes,
+        fusion_multireads=args.fusion_multireads,
+        fusion_multipairs=args.fusion_multipairs,
+        read_realign_edit_dist=(args.read_realign_edit_dist
+                                if args.read_realign_edit_dist is not None
+                                else -1),
     )
+    if args.transcriptome_only and not (args.gtf
+                                        or args.transcriptome_index):
+        raise SystemExit("Error: -T/--transcriptome-only requires "
+                         "-G/--GTF or --transcriptome-index")
 
     out_dir = args.output_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -355,9 +413,9 @@ def main(argv=None, resume=False):
             cache_prefix = cand if os.access(os.path.dirname(cand) or ".",
                                              os.W_OK) else None
         big = genome.n > (1 << 28)
-        kk, sr, mir = _index_design_point(big)
+        kk, sr = _index_design_point(big)
         gfm = build_grouped_fm(genome, max_bases=max_index_bases,
-                               kmer_k=kk, sa_rate=sr, mirror=mir,
+                               kmer_k=kk, sa_rate=sr,
                                cache_prefix=cache_prefix, log=logger.log)
         logger.log(f"genome partitioned into {gfm.n_groups} contig groups")
     elif args.tt_index:
@@ -373,8 +431,8 @@ def main(argv=None, resume=False):
             logger.log(f"genome FM index: reusing {path}")
         else:
             big = genome.n > (1 << 28)
-            kk, sr, mir = _index_design_point(big)
-            fm = build_fm_index(genome, kmer_k=kk, sa_rate=sr, mirror=mir)
+            kk, sr = _index_design_point(big)
+            fm = build_fm_index(genome, kmer_k=kk, sa_rate=sr)
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
@@ -426,6 +484,11 @@ def main(argv=None, resume=False):
         if transcripts is None:
             transcripts = parse_gtf(gtf_path)
         gtf_ev, gtf_accept = gtf_junctions(genome, transcripts)
+        if args.no_gtf_juncs:
+            # --no-gtf-juncs: annotated junctions stay in the event table
+            # (transcriptome hits still rebase through them) but get no
+            # automatic acceptance in filter_junctions
+            gtf_accept = None
         logger.log(f"GTF: {len(transcripts)} transcripts, "
                    f"{len(gtf_ev['left'])} known junctions")
         known = merge_events(known, gtf_ev) if known is not None else gtf_ev
@@ -483,7 +546,8 @@ def main(argv=None, resume=False):
     if gfm is not None and not args.reads2:
         from tophat_tpu.pipeline.grouped import run_pipeline_grouped
 
-        batch = load_reads(files1, params.quals_scale)
+        batch = load_reads(files1, params.quals_scale,
+                           integer_quals=params.integer_quals)
         run_pipeline_grouped(genome, batch, params, out_dir, gfm,
                              known_events=known, gtf_accept=gtf_accept,
                              trans=trans, log=logger.log)
@@ -494,9 +558,11 @@ def main(argv=None, resume=False):
         from tophat_tpu.pipeline.run import iter_read_batches
 
         it1 = iter_read_batches(files1, params.quals_scale,
-                                params.batch_size)
+                                params.batch_size,
+                                integer_quals=params.integer_quals)
         it2 = iter_read_batches(args.reads2.split(","), params.quals_scale,
-                                params.batch_size)
+                                params.batch_size,
+                                integer_quals=params.integer_quals)
         run_pipeline_paired_streaming(
             genome, zip(it1, it2), params, out_dir, fm=fm, gfm=gfm,
             known_events=known, gtf_accept=gtf_accept, trans=trans,
@@ -508,7 +574,8 @@ def main(argv=None, resume=False):
                                              run_pipeline_streaming)
 
         batches = iter_read_batches(files1, params.quals_scale,
-                                    params.batch_size)
+                                    params.batch_size,
+                                    integer_quals=params.integer_quals)
         first = next(batches, None)
         if first is None:
             raise SystemExit("Error: no reads in input")

@@ -259,6 +259,14 @@ def encode_records_columns(names, flag, ref_id, pos, end, mapq,
         return b""
     names_join = b"\x00".join(names) + b"\x00"
     name_len = np.fromiter((len(b) + 1 for b in names), np.int64, n)
+    # the BAM prefix stores l_read_name in a uint8 and n_cigar_op in a
+    # uint16 — fail loud instead of silently wrapping the record stream
+    if name_len.max(initial=0) > 255:
+        bad = names[int(np.argmax(name_len))]
+        raise ValueError(f"BAM query name longer than 254 bytes: "
+                         f"{bad[:40]!r}... ({len(bad)} bytes)")
+    if np.asarray(n_cig, np.int64).max(initial=0) > 65535:
+        raise ValueError("BAM record with more than 65535 CIGAR ops")
     tags_join = b"".join(tag_list)
     tag_len = np.fromiter((len(b) for b in tag_list), np.int64, n)
     seq_join = b"".join(seq_list)

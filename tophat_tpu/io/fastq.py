@@ -98,7 +98,9 @@ def convert_quals(qual: bytes, scale: str) -> bytes:
     return np.clip(out, 33, 126).astype(np.uint8).tobytes()
 
 
-def read_all(path: str, quals_scale: str = "phred33") -> Iterator[Tuple[str, bytes, bytes]]:
+def read_all(path: str, quals_scale: str = "phred33",
+             integer_quals: bool = False
+             ) -> Iterator[Tuple[str, bytes, bytes]]:
     """Yield (name, seq_ascii, qual_phred33) for every record in the file.
 
     Accepts FASTQ/FASTA (optionally gzip/bz2) and BAM — the reference feeds
@@ -125,7 +127,16 @@ def read_all(path: str, quals_scale: str = "phred33") -> Iterator[Tuple[str, byt
         it = _iter_fasta(f) if fmt == "fasta" else _iter_fastq(f)
         for name, seq, qual in it:
             if fmt == "fastq":
-                qual = convert_quals(qual, quals_scale)
+                if integer_quals:
+                    # --integer-quals: space-delimited numeric qualities
+                    # (reference: ReadParams.integer_quals feeding
+                    # prep_reads' quality parser, src/qual.cpp)
+                    vals = np.array([int(v) for v in qual.split()],
+                                    np.int32)
+                    qual = np.clip(vals + 33, 33, 126).astype(
+                        np.uint8).tobytes()
+                else:
+                    qual = convert_quals(qual, quals_scale)
             yield name, seq, qual
 
 

@@ -62,9 +62,38 @@ def cigar_string(ops: List[Tuple[str, int]]) -> str:
     return "".join(f"{n}{op}" for op, n in ops if n > 0) or "*"
 
 
+def rg_header_line(params) -> Optional[str]:
+    """@RG line when --rg-id/--rg-sample are set (reference builds it the
+    same way in get_index_sam_header, src/tophat.py:1476-1491: ID/SM
+    required together, then LB/DS/PU/CN/PI/DT/PL in that order)."""
+    rg_id = getattr(params, "rg_id", "") if params is not None else ""
+    if not rg_id:
+        return None
+    s = f"@RG\tID:{rg_id}\tSM:{params.rg_sample}"
+    if params.rg_library:
+        s += f"\tLB:{params.rg_library}"
+    if params.rg_description:
+        s += f"\tDS:{params.rg_description}"
+    if params.rg_platform_unit:
+        s += f"\tPU:{params.rg_platform_unit}"
+    if params.rg_center:
+        s += f"\tCN:{params.rg_center}"
+    if getattr(params, "inner_dist_mean", 0):
+        s += f"\tPI:{params.inner_dist_mean}"
+    if params.rg_date:
+        s += f"\tDT:{params.rg_date}"
+    if params.rg_platform:
+        s += f"\tPL:{params.rg_platform}"
+    return s
+
+
 def header_lines(genome: Genome, sort_order: str = "coordinate",
-                 program_version: str = "0.1.0") -> List[str]:
+                 program_version: str = "0.1.0",
+                 params=None) -> List[str]:
     lines = [f"@HD\tVN:1.0\tSO:{sort_order}"]
+    rg = rg_header_line(params)
+    if rg is not None:
+        lines.append(rg)
     lens = genome.contig_lengths()
     for name, ln in zip(genome.names, lens):
         lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")

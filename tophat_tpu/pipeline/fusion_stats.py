@@ -292,12 +292,20 @@ class FusionTable:
     def write(self, path: str):
         gnames = self.genome.names
         rows = sorted(self.stats.items())
+        ignore = {c for c in getattr(self.params,
+                                     "fusion_ignore_chromosomes",
+                                     "").split(",") if c}
         with open(path, "w") as f:
             for (g1, g2, fdir), st in rows:
                 if st.count <= 0:
                     continue
                 c1, l1 = self.genome.global_to_contig(np.int64(g1))
                 c2, l2 = self.genome.global_to_contig(np.int64(g2))
+                if (gnames[int(c1)] in ignore
+                        or gnames[int(c2)] in ignore):
+                    # --fusion-ignore-chromosomes (reference usage
+                    # tophat.py:124: e.g. chrM break points are noise)
+                    continue
                 symm = float(np.sum(((st.left_bases - st.right_bases)
                                      / float(st.count)) ** 2))
                 f.write("%s-%s\t%d\t%d\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%.6f"
@@ -328,8 +336,14 @@ def build_fusion_table(genome, events, params, parts) -> FusionTable:
     parts: [(batch, selected)] as in write_outputs_multi; selected maps
     read -> [Candidate]."""
     ft = FusionTable(genome, events, params)
+    multireads = getattr(params, "fusion_multireads", 0)
     for batch, selected in parts:
         for r, clist in selected.items():
+            if multireads and len(clist) > multireads:
+                # --fusion-multireads (reference usage tophat.py:126):
+                # reads mapping to more than this many places do not
+                # count as fusion support
+                continue
             for c in clist:
                 ft.add_alignment(c, int(batch.lengths[r]))
     for batch, selected in parts:

@@ -24,6 +24,10 @@ from tophat_tpu.ops.splice import (KIND_DELETION, KIND_FUSION,
 from tophat_tpu.pipeline.segment import GenomeSpaceReads, map_segments
 
 MAX_WINDOWS = 32768
+# junction scan hits are capped independently of the window count — every
+# window can yield several motif hits, so tying the two caps silently
+# dropped candidates at scale (round-4 advisor finding)
+MAX_SCAN_HITS = MAX_WINDOWS * 4
 MAX_INDEL_PAIRS = 16384
 LOOK_BP_SUP = 8  # fusion support half-window (= ops.splice.LOOK_BP)
 
@@ -105,10 +109,15 @@ def discover_events(fm, offsets, gs: GenomeSpaceReads, params,
     jl, jr, jrev, jvalid = scan_windows(fm.genome, readsg, win, sup_max)
     cl, cr, crev, crow, ccnt, covf = compact_scan_hits(
         jnp.asarray(jl), jnp.asarray(jr), jnp.asarray(jrev),
-        jnp.asarray(jvalid), jnp.asarray(win.row), MAX_WINDOWS)
+        jnp.asarray(jvalid), jnp.asarray(win.row), MAX_SCAN_HITS)
     cnt = int(ccnt)
-    if bool(covf) and log:
-        log(f"warning: junction scan hits overflowed {MAX_WINDOWS} slots")
+    if bool(covf):
+        import warnings
+
+        warnings.warn(
+            f"junction scan hits overflowed {MAX_SCAN_HITS} slots; "
+            "some candidates were dropped (raise MAX_SCAN_HITS or "
+            "reduce the chunk size)", stacklevel=2)
     jl = np.asarray(cl)[:cnt]
     jr = np.asarray(cr)[:cnt]
     jrev = np.asarray(crev)[:cnt].astype(bool)

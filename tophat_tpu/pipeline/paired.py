@@ -203,8 +203,10 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
         fm = gfm
     else:
         if fm is None:
+            from tophat_tpu.index.fm import default_kmer_k
+
             log("Building FM index...")
-            fm = build_fm_index(genome)
+            fm = build_fm_index(genome, kmer_k=default_kmer_k(genome.n))
         mapper = SingleIndexMapper(fm, genome, params, trans=trans, log=log)
 
     chunks = []
@@ -389,16 +391,21 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
             xs = "-" if events["antisense"][c.ev] else "+"
         seq = decode_seq(batch.codes[c.read][:rl]).encode()
         qual = batch.quals[c.read][:rl] or b"*"
+        rg_extra = ([f"RG:Z:{params.rg_id}"]
+                    if getattr(params, "rg_id", "") else None)
         lines.append(samio.format_record(
             name=batch.names[c.read], flag=flag,
             ref=genome.names[int(cid)], pos0=int(local),
             mapq=samio.mapq_for_nh(nh, params.v2_sam), cigar=c.cigar(rl),
             seq=seq, qual=qual, nm=c.nm(), nh=nh,
-            xs_strand=xs, rnext=rnext, pnext0=pnext, tlen=tlen))
+            xs_strand=xs, rnext=rnext, pnext0=pnext, tlen=tlen,
+            extra=rg_extra))
         tags = [("NM", "i", c.nm())]
         if xs is not None:
             tags.append(("XS", "A", xs))
         tags.append(("NH", "i", nh))
+        if getattr(params, "rg_id", ""):
+            tags.append(("RG", "Z", params.rg_id))
         out_seq = (samio.revcomp_ascii(seq)
                    if flag & samio.FLAG_REVERSE else seq)
         out_qual = qual[::-1] if flag & samio.FLAG_REVERSE else qual
@@ -412,7 +419,7 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
 
     from tophat_tpu.io.bam import BamWriter
 
-    header = "\n".join(samio.header_lines(genome)) + "\n"
+    header = "\n".join(samio.header_lines(genome, params=params)) + "\n"
     lens = [int(x) for x in genome.contig_lengths()]
     w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
                   genome.names, lens)
@@ -423,7 +430,8 @@ def run_pipeline_paired_streaming(genome: Genome, pair_iter, params,
     from tophat_tpu.io.bam import BamRecord as _BR
 
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
-                  "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
+                  "\n".join(samio.header_lines(genome, "unsorted",
+                                                params=params)) + "\n",
                   genome.names, lens)
     for (batch1, batch2, sel0, sel1) in chunk_selected:
         for mi, (batch, sel) in enumerate(((batch1, sel0),

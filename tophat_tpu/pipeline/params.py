@@ -60,6 +60,24 @@ class Params:
     fusion_read_mismatches: int = 2
     fusion_multireads: int = 2
     fusion_multipairs: int = 2
+    # transcriptome / annotation modes
+    transcriptome_only: bool = False    # -T/--transcriptome-only
+    transcriptome_max_hits: int = 60    # -x/--transcriptome-max-hits
+    no_gtf_juncs: bool = False          # --no-gtf-juncs
+    integer_quals: bool = False         # --integer-quals
+    fusion_ignore_chromosomes: str = ""  # --fusion-ignore-chromosomes CSV
+    read_realign_edit_dist: int = -1    # --read-realign-edit-dist
+    #                                     (-1 = read_edit_dist + 1: never)
+    # read group (@RG header + RG:Z record tags; reference:
+    # src/tophat.py:116-124 usage, :1476 rg_str, tophat_reports.cpp:744)
+    rg_id: str = ""                     # --rg-id
+    rg_sample: str = ""                 # --rg-sample (SM)
+    rg_library: str = ""                # --rg-library (LB)
+    rg_description: str = ""            # --rg-description (DS)
+    rg_platform_unit: str = ""          # --rg-platform-unit (PU)
+    rg_platform: str = ""               # --rg-platform (PL)
+    rg_center: str = ""                 # --rg-center (CN)
+    rg_date: str = ""                   # --rg-date (DT)
     # reporting
     report_secondary: bool = False      # --report-secondary-alignments
     no_discordant: bool = False         # --no-discordant: report only

@@ -800,7 +800,7 @@ def write_outputs_multi(out_dir: str, genome: Genome, params, parts,
     with open(os.path.join(out_dir, "accepted_hits.sam"), "wb") as f:
         f.write(sam_content)
     write_bam_outputs(out_dir, genome, parts, bam_blob,
-                      skip_accepted=params.no_convert_bam)
+                      skip_accepted=params.no_convert_bam, params=params)
 
     _write_beds(out_dir, genome, events, final_stats)
     if params.fusion_search:
@@ -883,6 +883,9 @@ def _emit_records(genome, params, parts, records, events, last_of_read,
     from tophat_tpu.io.bam import encode_records_columns
 
     v2 = bool(getattr(params, "v2_sam", False))
+    rg_id = getattr(params, "rg_id", "")
+    rg_sam = f"\tRG:Z:{rg_id}".encode() if rg_id else b""
+    rg_bam = (b"RGZ" + rg_id.encode() + b"\x00") if rg_id else b""
     nrec = len(records)
     pos_arr = np.fromiter((rec[0].pos for rec in records), np.int64,
                           nrec) if nrec else np.zeros(0, np.int64)
@@ -979,6 +982,7 @@ def _emit_records(genome, params, parts, records, events, last_of_read,
         line += f"\tNH:i:{nh}".encode()
         if extra:
             line += ("\t" + "\t".join(extra)).encode()
+        line += rg_sam   # RG:Z last, like the reference's rg_aux
         sam_lines.append(line)
 
         # BAM columns
@@ -1009,7 +1013,7 @@ def _emit_records(genome, params, parts, records, events, last_of_read,
                     tags += tg.encode() + b"Z" + val.encode() + b"\x00"
                 else:
                     tags += tg.encode() + ty.encode() + val.encode()
-        tag_list.append(tags)
+        tag_list.append(tags + rg_bam)
 
     sam_content = (b"\n".join(sam_lines) + b"\n") if sam_lines else b""
     bam_blob = encode_records_columns(
@@ -1049,14 +1053,14 @@ def _unmapped_blob(parts):
 
 
 def write_bam_outputs(out_dir, genome, parts, bam_blob,
-                      skip_accepted=False):
+                      skip_accepted=False, params=None):
     """accepted_hits.bam (coordinate-sorted, same order as the SAM) and
     unmapped.bam (reference output contract: SURVEY.md appendix);
     skip_accepted = --no-convert-bam (SAM only). bam_blob: pre-encoded
     record bytes from _emit_records."""
     from tophat_tpu.io.bam import BamWriter
 
-    header = "\n".join(samio.header_lines(genome)) + "\n"
+    header = "\n".join(samio.header_lines(genome, params=params)) + "\n"
     lens = [int(x) for x in genome.contig_lengths()]
     if not skip_accepted:
         w = BamWriter(os.path.join(out_dir, "accepted_hits.bam"), header,
@@ -1065,7 +1069,8 @@ def write_bam_outputs(out_dir, genome, parts, bam_blob,
         w.close()
 
     w = BamWriter(os.path.join(out_dir, "unmapped.bam"),
-                  "\n".join(samio.header_lines(genome, "unsorted")) + "\n",
+                  "\n".join(samio.header_lines(genome, "unsorted",
+                                               params=params)) + "\n",
                   genome.names, lens)
     w.write_encoded(_unmapped_blob(parts))
     w.close()

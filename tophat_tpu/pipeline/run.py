@@ -48,20 +48,24 @@ def revcomp_rows(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.where(ok, comp, np.int8(-1)).astype(np.int8)
 
 
-def load_reads(files: List[str], quals_scale: str) -> ReadBatch:
+def load_reads(files: List[str], quals_scale: str,
+               integer_quals: bool = False) -> ReadBatch:
     records = []
     for path in files:
-        records.extend(read_all(path, quals_scale))
+        records.extend(read_all(path, quals_scale,
+                                integer_quals=integer_quals))
     return batch_reads(records)
 
 
-def iter_read_batches(files: List[str], quals_scale: str, batch_size: int):
+def iter_read_batches(files: List[str], quals_scale: str, batch_size: int,
+                      integer_quals: bool = False):
     """Stream (name, seq, qual) records into fixed-size ReadBatches — the
     host input pipeline role of ZReader + prep_reads streaming (reference:
     src/tophat.py:1756, prep_reads.cpp:337)."""
     buf = []
     for path in files:
-        for rec in read_all(path, quals_scale):
+        for rec in read_all(path, quals_scale,
+                            integer_quals=integer_quals):
             buf.append(rec)
             if len(buf) >= batch_size:
                 yield batch_reads(buf)
@@ -115,12 +119,40 @@ def _align_mate(fm, offsets, batch: ReadBatch, params: Params, log,
 
         trans_hits = map_reads_transcriptome(trans, genome, reads_f,
                                              reads_r, lengths, params)
+        # -x/--transcriptome-max-hits (reference usage tophat.py:97):
+        # reads with more transcriptome placements are discarded — they
+        # neither report nor continue to the genome stages
+        tmax = getattr(params, "transcriptome_max_hits", 0)
+        if tmax:
+            over = [r for r, h in trans_hits.items() if len(h) > tmax]
+            for r in over:
+                del trans_hits[r]
+                has_t[r] = True      # discarded, not IUM
+            if over:
+                log(f"transcriptome map: {len(over)} reads discarded "
+                    f"(> {tmax} transcriptome hits)")
         for r in trans_hits:
             has_t[r] = True
         log(f"transcriptome map: {int(has_t.sum())} reads placed on "
             f"annotated transcripts")
 
     from tophat_tpu.ops.align import align_reads_adaptive, kmer_fast_ok
+
+    if getattr(params, "transcriptome_only", False):
+        # -T/--transcriptome-only (reference: tophat.py:96): report only
+        # transcriptome placements; nothing maps to the genome and no
+        # spliced discovery runs
+        B = batch.size
+        M = 1
+        aln = Alignments(pos=np.zeros((B, M), np.int32),
+                         strand=np.zeros((B, M), np.int8),
+                         mm=np.zeros((B, M), np.int8),
+                         valid=np.zeros((B, M), bool),
+                         n_hits=np.zeros(B, np.int32),
+                         truncated=np.zeros(B, bool))
+        m = MateState(batch=batch, keep=keep, aln=aln, gs=None,
+                      prep_stats=prep_stats, trans_hits=trans_hits)
+        return m, np.zeros(B, bool), reads_f, reads_r, lengths
 
     min_len = int(lengths.min()) if len(lengths) else 0
     max_len = int(lengths.max()) if len(lengths) else 0
@@ -150,6 +182,17 @@ def _align_mate(fm, offsets, batch: ReadBatch, params: Params, log,
                      mm=np.asarray(aln.mm), valid=valid, n_hits=n_hits,
                      truncated=np.asarray(aln.truncated))
     ium = keep & (n_hits == 0) & ~has_t
+    # --read-realign-edit-dist (reference usage tophat.py:62): mapped
+    # reads whose best contiguous alignment has at least this edit
+    # distance also enter the spliced stages, competing with any spliced
+    # placement found there. Default (read_edit_dist + 1) realigns none.
+    rre = getattr(params, "read_realign_edit_dist", -1)
+    if rre < 0:
+        rre = params.read_edit_dist + 1
+    if rre <= params.read_edit_dist:
+        mm_t = np.where(valid, np.asarray(aln.mm, np.int32), 127)
+        best_mm = mm_t.min(axis=1, initial=127)
+        ium |= keep & ~has_t & (n_hits > 0) & (best_mm >= rre)
     log(f"genome map: {int((n_hits > 0).sum())} mapped, {int(ium.sum())} IUM")
     m = MateState(batch=batch, keep=keep, aln=aln, gs=None,
                   prep_stats=prep_stats, trans_hits=trans_hits)
@@ -206,8 +249,10 @@ def pipeline_core(genome: Genome, batches: List[ReadBatch], params: Params,
     """Run prep/map/discover/realign/filter for 1 (single) or 2 (paired)
     read batches. Returns (mates, events, stats, accepted, fm)."""
     if fm is None:
+        from tophat_tpu.index.fm import default_kmer_k
+
         log("Building FM index...")
-        fm = build_fm_index(genome)
+        fm = build_fm_index(genome, kmer_k=default_kmer_k(genome.n))
     offsets = genome.offsets.astype(np.int32)
 
     mates = [_map_mate(fm, offsets, b, params, log, genome=genome,
@@ -509,8 +554,11 @@ def run_pipeline_streaming(genome: Genome, batch_iter, params: Params,
 
     def fm_get():
         if fm_holder[0] is None:
+            from tophat_tpu.index.fm import default_kmer_k
+
             log("Building FM index...")
-            fm_holder[0] = build_fm_index(genome)
+            fm_holder[0] = build_fm_index(genome,
+                                          kmer_k=default_kmer_k(genome.n))
         return fm_holder[0]
 
     from tophat_tpu.pipeline.prep import PrepStats
