@@ -105,3 +105,48 @@ def test_b2_multihit_gapped_nh(tmp_path):
     assert {c.pos for c in sel} == {1000, 5000}
     sam = (tmp_path / "multi" / "accepted_hits.sam").read_text()
     assert sam.count("NH:i:2") == 2 and "2D" in sam
+
+
+def test_b2_tuning_surface_changes_admission(tmp_path):
+    """--b2-mp / --b2-rdg / --b2-score-min reshape the score model and
+    gate admission (VERDICT r4 item 7; reference option assembly
+    src/tophat.py:2250-2337)."""
+    rng = np.random.default_rng(9)
+    genome, batch = _fixture(rng, 1)   # 1bp deletion, 0 mismatches
+
+    def aligned(tmp, **kw):
+        out = _run(genome, batch, tmp_path / tmp, bowtie2=True,
+                   read_gap_length=3, **kw)
+        return sum(1 for v in out["selected"].values()
+                   if any(any(o == "D" for o, _ in c.cigar(40))
+                          for c in v))
+
+    # default model: penalty 5 + 3 = 8 <= floor 6*2+2 = 14 -> admitted
+    assert aligned("dflt") == 4
+    # heavier read-gap penalties push the deletion over the floor
+    assert aligned("rdg", b2_rdg="20,10") == 0
+    # a tightened constant score floor rejects the default-penalty gap
+    assert aligned("smin", b2_score_min="C,-7,0") == 0
+    # a linear floor scales with read length: -(-0.2*40) = 8 -> admitted
+    assert aligned("lin", b2_score_min="L,0,-0.2") == 4
+
+    # mismatch penalty: add 1 mm to each read -> default 6*1+8 = 14 <= 14
+    # admitted; --b2-mp 12,4 -> 12+8 = 20 > fixed floor 14 -> rejected
+    recs = []
+    for i, name in enumerate(batch.names):
+        codes = batch.codes[i][:40].copy()
+        codes[5] = (codes[5] + 1) % 4
+        recs.append((name, decode_seq(codes), b"I" * 40))
+    from tophat_tpu.io.fastq import batch_reads as _br
+
+    batch_mm = _br(recs)
+
+    def aligned_mm(tmp, **kw):
+        out = _run(genome, batch_mm, tmp_path / tmp, bowtie2=True,
+                   read_gap_length=3, **kw)
+        return sum(1 for v in out["selected"].values()
+                   if any(any(o == "D" for o, _ in c.cigar(40))
+                          for c in v))
+
+    assert aligned_mm("mm_dflt", b2_score_min="C,-14,0") == 4
+    assert aligned_mm("mm_mp", b2_score_min="C,-14,0", b2_mp="12,4") == 0

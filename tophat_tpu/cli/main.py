@@ -112,6 +112,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "score floor 6*mm+5+3*gap <= 6*read-edit-dist+2 "
                         "(reference: tophat.py:2253-2337); finds small "
                         "indels without segment search")
+    p.add_argument("--b2-mp", default="6,2",
+                   help="bowtie2-mode max,min mismatch penalties "
+                        "(scoring + admission)")
+    p.add_argument("--b2-rdg", default="5,3",
+                   help="bowtie2-mode read-gap open,extend penalties")
+    p.add_argument("--b2-rfg", default="5,3",
+                   help="bowtie2-mode reference-gap open,extend penalties")
+    p.add_argument("--b2-score-min", default="",
+                   help="bowtie2-mode minimum score function "
+                        "(C,a[,b] or L,a,b in read length)")
+    for _pre in ("very-fast", "fast", "sensitive", "very-sensitive"):
+        p.add_argument(f"--b2-{_pre}", dest=f"b2_{_pre.replace('-', '_')}",
+                       action="store_true",
+                       help="bowtie2 seeding preset (accepted for "
+                            "compatibility: seeding here is exact)")
+    for _flg, _d in (("N", 0), ("L", 20), ("D", 15), ("R", 2),
+                     ("gbar", 4), ("np", 1)):
+        p.add_argument(f"--b2-{_flg}", type=int, default=_d,
+                       help="bowtie2 seeding/penalty knob (accepted for "
+                            "compatibility)")
+    p.add_argument("--b2-i", default="S,1,1.25",
+                   help="bowtie2 seed interval function (accepted for "
+                        "compatibility)")
     p.add_argument("--fusion-search", action="store_true")
     p.add_argument("--fusion-anchor-length", type=int, default=20)
     p.add_argument("--fusion-min-dist", type=int, default=10000000)
@@ -364,6 +387,12 @@ def main(argv=None, resume=False):
         v2_sam=args.v2_sam,
         no_sort_bam=args.no_sort_bam,
         no_convert_bam=args.no_convert_bam,
+        b2_mp=args.b2_mp, b2_rdg=args.b2_rdg, b2_rfg=args.b2_rfg,
+        b2_score_min=args.b2_score_min,
+        b2_preset=next((x for x in ("very-fast", "fast", "sensitive",
+                                    "very-sensitive")
+                        if getattr(args, "b2_" + x.replace("-", "_"))),
+                       ""),
         rg_id=args.rg_id, rg_sample=args.rg_sample,
         rg_library=args.rg_library, rg_description=args.rg_description,
         rg_platform_unit=args.rg_platform_unit,

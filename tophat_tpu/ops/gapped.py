@@ -30,16 +30,21 @@ import numpy as np
 BIG = jnp.int32(32767)
 
 
-@partial(jax.jit, static_argnames=("max_gap", "max_edit"))
-def gapped_scan(genome, reads, lengths, cand, cand_valid,
-                max_gap: int, max_edit: int):
+@partial(jax.jit, static_argnames=("max_gap", "mp_max", "rdg_open",
+                                   "rdg_ext", "rfg_open", "rfg_ext"))
+def gapped_scan(genome, reads, lengths, cand, cand_valid, floor,
+                max_gap: int, mp_max: int = 6, rdg_open: int = 5,
+                rdg_ext: int = 3, rfg_open: int = 5, rfg_ext: int = 3):
     """Best single-gap alignment per read over its candidate anchors.
 
     reads (B, L) genome-space codes; cand (B, C) candidate window starts
-    (from the ungapped pigeonhole seeds). Returns per read:
+    (from the ungapped pigeonhole seeds); floor (B,) per-read penalty
+    budget (-score_min). Returns per read:
       (pos, t, gap, mm, ok) — gap > 0 deletion of gap genome bases after
     read prefix t; gap < 0 insertion of -gap read bases at t; penalty
-    6*mm + 5 + 3*|gap| <= 6*max_edit + 2 and leftmost-best.
+    mp_max*mm + rdg(d) or rfg(i) <= floor, leftmost-best. The penalty
+    model is bowtie2's at max quality (--mp/--rdg/--rfg,
+    reference src/tophat.py:2328-2339).
     """
     genome = jnp.asarray(genome)
     n = genome.shape[0]
@@ -73,7 +78,6 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
     best_gap = jnp.zeros((B, C), jnp.int32)
     best_mm = jnp.zeros((B, C), jnp.int32)
     best_s0 = jnp.zeros((B, C), jnp.int32)
-    score_floor = 6 * max_edit + 2
 
     def consider(pen_t, tt, d, s0, mm_t, state):
         bp, bt, bg, bm, bs = state
@@ -96,7 +100,8 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
                 continue
             mm_t = (pref_before[:, :, s0 + g, :]
                     + suf[:, :, s0 + d + g, :L])
-            pen_t = jnp.where(interior, 6 * mm_t + 5 + 3 * d, BIG)
+            pen_t = jnp.where(interior,
+                              mp_max * mm_t + rdg_open + rdg_ext * d, BIG)
             state = consider(pen_t, t, d, s0, mm_t, state)
         # insertions: suffix starts at read index t + i, diagonal s0 - i
         for i in range(1, g + 1):
@@ -108,11 +113,12 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
                 jnp.broadcast_to(suf_at, (B, C, L)), axis=2)
             mm_t = pref_before[:, :, s0 + g, :] + sfi
             ins_ok = interior & (t + i <= lengths[:, None, None] - 1)
-            pen_t = jnp.where(ins_ok, 6 * mm_t + 5 + 3 * i, BIG)
+            pen_t = jnp.where(ins_ok,
+                              mp_max * mm_t + rfg_open + rfg_ext * i, BIG)
             state = consider(pen_t, t, -i, s0, mm_t, state)
     best_pen, best_t, best_gap, best_mm, best_s0 = state
 
-    ok = cand_valid & (best_pen <= score_floor)
+    ok = cand_valid & (best_pen <= floor[:, None])
     pos = cand + best_s0
     # PER-CANDIDATE results: every passing anchor reports its best
     # placement — the bowtie2 `-k` multi-hit contract (the reference runs
@@ -123,6 +129,39 @@ def gapped_scan(genome, reads, lengths, cand, cand_valid,
 
 
 MAX_CAND = 8
+
+
+def b2_score_model(params):
+    """Parse the --b2-* tuning surface into (mp_max, rdg, rfg,
+    floor_fn(read_len) -> penalty budget). Defaults are the reference
+    driver's: mp 6,2 / rdg 5,3 / rfg 5,3 and score-min
+    C,-(mp_max*edit+2),0 (src/tophat.py:2328-2339)."""
+    def pair(s, d):
+        try:
+            a, b = str(s).split(",")[:2]
+            return int(a), int(b)
+        except (ValueError, AttributeError):
+            return d
+
+    mp_max, _mp_min = pair(getattr(params, "b2_mp", "6,2"), (6, 2))
+    rdg = pair(getattr(params, "b2_rdg", "5,3"), (5, 3))
+    rfg = pair(getattr(params, "b2_rfg", "5,3"), (5, 3))
+    smin = getattr(params, "b2_score_min", "") or ""
+    if smin:
+        # bowtie2 function string: C,a[,b] constant / L,a,b linear in
+        # read length; the floor is the negated minimum score
+        parts = smin.split(",")
+        kind = parts[0].strip().upper()
+        a = float(parts[1]) if len(parts) > 1 else 0.0
+        b = float(parts[2]) if len(parts) > 2 else 0.0
+        if kind == "L":
+            floor_fn = lambda rl: -(a + b * rl)
+        else:                     # C (S/G unsupported -> constant)
+            floor_fn = lambda rl: -a
+    else:
+        edit = params.read_edit_dist
+        floor_fn = lambda rl: mp_max * edit + 2
+    return mp_max, rdg, rfg, floor_fn
 
 
 def gapped_from_segments(genome_codes, gs, seg_tables, params,
@@ -194,10 +233,14 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
     g = max(1, min(params.read_gap_length,
                    max(params.max_deletion_length,
                        min(params.max_insertion_length, MAX_INS))))
+    mp_max, rdg, rfg, floor_fn = b2_score_model(params)
+    floor = np.array([floor_fn(int(l)) for l in gs.lengths],
+                     np.int32)
     pos, t, gap, mm, pen, ok = (np.asarray(x) for x in gapped_scan(
         genome_codes, jnp.asarray(gs.readsg), jnp.asarray(gs.lengths),
-        jnp.asarray(cand), jnp.asarray(cvalid),
-        max_gap=g, max_edit=params.read_edit_dist))
+        jnp.asarray(cand), jnp.asarray(cvalid), jnp.asarray(floor),
+        max_gap=g, mp_max=mp_max, rdg_open=rdg[0], rdg_ext=rdg[1],
+        rfg_open=rfg[0], rfg_ext=rfg[1]))
 
     glen = int(np.asarray(genome_codes).shape[0])
     off = np.asarray(offsets) if offsets is not None else None

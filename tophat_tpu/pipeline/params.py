@@ -45,6 +45,15 @@ class Params:
     #                                     (reference tophat.py:2253-2259);
     #                                     off = bowtie1 -v semantics (the
     #                                     regression gold's era)
+    # bowtie2 tuning surface (--b2-*; reference src/tophat.py:2250-2337.
+    # mp/rdg/rfg/score-min change scoring + admission; the seeding knobs
+    # N/L/i/D/R and the presets are accepted for compatibility — this
+    # aligner's seeding is exact, so they cannot reduce sensitivity)
+    b2_mp: str = "6,2"                  # --b2-mp MX,MN
+    b2_rdg: str = "5,3"                 # --b2-rdg open,extend (read gap)
+    b2_rfg: str = "5,3"                 # --b2-rfg open,extend (ref gap)
+    b2_score_min: str = ""              # --b2-score-min e.g. C,-14,0
+    b2_preset: str = ""                 # --b2-{very-fast,...} (no-op)
     # reads
     quals_scale: str = "phred33"        # phred33|phred64|solexa
     library_type: str = "fr-unstranded"  # --library-type
