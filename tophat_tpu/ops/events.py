@@ -119,30 +119,34 @@ def realign_chunk(genome, readsg, lengths, ev_left, ev_right, ev_kind,
 
 
 @partial(jax.jit, static_argnames=("L", "q", "max_mm"))
-def realign_scan(X, YLpad, YCpad, lengths, *, L: int, q: int, max_mm: int):
+def realign_scan(X, YLpadT, YCpadT, lengths, *, L: int, q: int,
+                 max_mm: int):
     """The Pallas realign algorithm in plain XLA: a scan over split points
     t, each step two bf16 MXU matmuls against lag-shifted flank slices,
     folding straight into running (best, best_t) — HBM traffic O(R*E) per
     step instead of the conv path's O(R*E*L) materialized volumes. Same
-    inputs as realign_pallas (prepare_inputs)."""
+    inputs as realign_pallas (prepare_inputs: transposed flanks, base
+    axis first with channel stride C)."""
+    from tophat_tpu.ops.pallas.realign_kernel import C
+
     R = X.shape[0]
-    E = YLpad.shape[0]
+    E = YLpadT.shape[1]
     Xb = X.astype(jnp.bfloat16)
-    YLb = YLpad.astype(jnp.bfloat16)
-    YCb = YCpad.astype(jnp.bfloat16)
+    YLb = YLpadT.astype(jnp.bfloat16)
+    YCb = YCpadT.astype(jnp.bfloat16)
     lens = lengths[:, None].astype(jnp.int32)
     big = jnp.float32(32767.0)
 
     def body(carry, t):
         best, bestt = carry
-        sl = (L - t) * 4
-        yl = jax.lax.dynamic_slice_in_dim(YLb, sl, L * 4, axis=1)
-        yc = jax.lax.dynamic_slice_in_dim(YCb, sl, L * 4, axis=1)
+        sl = (L - t) * C
+        yl = jax.lax.dynamic_slice_in_dim(YLb, sl, L * C, axis=0)
+        yc = jax.lax.dynamic_slice_in_dim(YCb, sl, L * C, axis=0)
         matchL = jax.lax.dot_general(
-            Xb, yl, (((1,), (1,)), ((), ())),
+            Xb, yl, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         matchC = jax.lax.dot_general(
-            Xb, yc, (((1,), (1,)), ((), ())),
+            Xb, yc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         mm = (t.astype(jnp.float32) - matchL) + (
             (lens - t).astype(jnp.float32) - matchC)
