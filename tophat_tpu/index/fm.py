@@ -202,11 +202,18 @@ def _build_kmer_table(text: np.ndarray, sa: np.ndarray, k: int):
     if n < k:
         z = np.zeros(4 ** k, np.int32)
         return z, z.copy()
-    v = np.zeros(n - k + 1, dtype=np.int64)
-    for j in range(k):
-        v = v * 4 + text[j: n - k + 1 + j]
-    rows = np.nonzero(sa <= n - k)[0]
-    vals_sorted = v[sa[rows]]          # non-decreasing along SA order
+    try:
+        from tophat_tpu.native import sais
+
+        kv = sais.kmer_vals(text, sa, k)   # threaded single pass
+        rows = np.nonzero(kv >= 0)[0]
+        vals_sorted = kv[rows]
+    except Exception:
+        v = np.zeros(n - k + 1, dtype=np.int64)
+        for j in range(k):
+            v = v * 4 + text[j: n - k + 1 + j]
+        rows = np.nonzero(sa <= n - k)[0]
+        vals_sorted = v[sa[rows]]      # non-decreasing along SA order
     cnt = np.bincount(vals_sorted, minlength=4 ** k).astype(np.int32)
     first = np.concatenate([[0], np.cumsum(cnt[:-1])])
     lo = np.where(cnt > 0,
@@ -229,6 +236,15 @@ def _occ_tables(bwt: np.ndarray, m: int):
     occ_mid = np.concatenate([occ_mid.reshape(-1, 4),
                               np.zeros((4, 4), np.uint8)]).astype(np.uint8)
     return occ_ck, occ_mid
+
+
+def host_codes(fm) -> np.ndarray:
+    """Host numpy view of an index's genome codes. Index-like views used
+    by the grouped pipeline carry a `genome_host` alongside a
+    device-resident `genome`, so host-side consumers (chains, coverage,
+    butterfly) never pull a multi-GB device array back over the link."""
+    gh = getattr(fm, "genome_host", None)
+    return gh if gh is not None else np.asarray(fm.genome)
 
 
 def default_kmer_k(n: int) -> int:

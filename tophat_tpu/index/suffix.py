@@ -66,6 +66,12 @@ def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     Returns (bwt_codes, primary): bwt_codes is int8 of length n+1 with the
     sentinel row's symbol stored as 0 (A); `primary` is that row's index.
     """
+    try:
+        from tophat_tpu.native import sais  # threaded gather, no temps
+
+        return sais.bwt_from_sa(codes, sa)
+    except Exception:
+        pass
     t = np.asarray(codes, dtype=np.int8)
     n = t.shape[0]
     bwt = np.zeros(n + 1, dtype=np.int8)

@@ -23,8 +23,8 @@ def _build_and_load(name: str, extra_flags=()):
     so = os.path.join(_DIR, f"lib{name}.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
-        cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
-                "-o", so] + list(extra_flags))
+        cmd = (["g++", "-O2", "-shared", "-fPIC", "-pthread",
+                "-std=c++17", src, "-o", so] + list(extra_flags))
         subprocess.run(cmd, check=True, capture_output=True)
     return ctypes.CDLL(so)
 
@@ -42,6 +42,60 @@ class _Sais:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
         return self._lib
+
+    def bwt_from_sa(self, codes: np.ndarray, sa: np.ndarray):
+        """Threaded BWT gather; returns (bwt int8[n+1], primary)."""
+        import os
+
+        lib = self.lib
+        if not hasattr(lib, "sais_bwt_from_sa"):
+            raise AttributeError("sais_bwt_from_sa missing (stale .so?)")
+        lib.sais_bwt_from_sa.restype = ctypes.c_int64
+        lib.sais_bwt_from_sa.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        sa = np.ascontiguousarray(sa, dtype=np.int64)
+        n = codes.shape[0]
+        bwt = np.empty(n + 1, np.uint8)
+        primary = lib.sais_bwt_from_sa(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            min(os.cpu_count() or 1, 8))
+        if primary < 0:
+            raise RuntimeError("bwt_from_sa: no sentinel row")
+        return bwt.view(np.int8), int(primary)
+
+    def kmer_vals(self, codes: np.ndarray, sa: np.ndarray,
+                  k: int) -> np.ndarray:
+        """Per-SA-row k-mer key (or -1), threaded single pass."""
+        import os
+
+        lib = self.lib
+        if not hasattr(lib, "sais_kmer_vals"):
+            raise AttributeError("sais_kmer_vals missing (stale .so?)")
+        lib.sais_kmer_vals.restype = ctypes.c_int
+        lib.sais_kmer_vals.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        sa = np.ascontiguousarray(sa, dtype=np.int64)
+        n = codes.shape[0]
+        out = np.empty(n + 1, np.int32)
+        rc = lib.sais_kmer_vals(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(k),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            min(os.cpu_count() or 1, 8))
+        if rc != 0:
+            raise RuntimeError("sais_kmer_vals failed")
+        return out
 
     def suffix_array(self, codes: np.ndarray) -> np.ndarray:
         """SA of codes + implicit sentinel (sa[0] == n), like

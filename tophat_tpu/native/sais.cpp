@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -116,6 +117,61 @@ int sais_suffix_array(const uint8_t* text, int64_t n, int64_t* out) {
   for (int64_t i = 0; i < n; ++i) s[i] = (uint8_t)(text[i] + 1);
   s[n] = 0;  // sentinel
   sais_core<uint8_t>(s.data(), out, n + 1, 257);
+  return 0;
+}
+
+// BWT from SA in one threaded pass: bwt[i] = text[sa[i]-1] (0 for the
+// sentinel row). The gather is memory-latency bound, so threads help even
+// on 2 vCPUs and the numpy version's boolean-mask temporaries (3 extra
+// O(n) passes) disappear. Returns the primary (sentinel) row index.
+int64_t sais_bwt_from_sa(const uint8_t* text, int64_t n, const int64_t* sa,
+                         uint8_t* bwt, int nthreads) {
+  int64_t m = n + 1;
+  int64_t primary = -1;
+  if (nthreads < 1) nthreads = 1;
+  std::vector<int64_t> prim(nthreads, -1);
+  std::vector<std::thread> ts;
+  int64_t step = (m + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * step, hi = std::min(m, lo + step);
+    ts.emplace_back([&, t, lo, hi]() {
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t s = sa[i];
+        if (s > 0) bwt[i] = text[s - 1];
+        else { bwt[i] = 0; prim[t] = i; }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (int t = 0; t < nthreads; ++t)
+    if (prim[t] >= 0) primary = prim[t];
+  return primary;
+}
+
+// Per-SA-row k-mer key of the row's suffix (-1 where the suffix is
+// shorter than k): replaces the numpy build's k rolling O(n) int64
+// passes + one fancy-index gather with a single threaded pass that does
+// one random text access per row (the following k-1 reads ride the same
+// cache lines).
+int sais_kmer_vals(const uint8_t* text, int64_t n, const int64_t* sa,
+                   int k, int32_t* out, int nthreads) {
+  int64_t m = n + 1;
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::thread> ts;
+  int64_t step = (m + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * step, hi = std::min(m, lo + step);
+    ts.emplace_back([&, lo, hi]() {
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t s = sa[i];
+        if (s + k > n) { out[i] = -1; continue; }
+        int32_t v = 0;
+        for (int j = 0; j < k; ++j) v = v * 4 + (int32_t)text[s + j];
+        out[i] = v;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
   return 0;
 }
 }

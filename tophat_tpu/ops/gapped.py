@@ -242,7 +242,7 @@ def gapped_from_segments(genome_codes, gs, seg_tables, params,
         max_gap=g, mp_max=mp_max, rdg_open=rdg[0], rdg_ext=rdg[1],
         rfg_open=rfg[0], rfg_ext=rfg[1]))
 
-    glen = int(np.asarray(genome_codes).shape[0])
+    glen = int(genome_codes.shape[0])
     off = np.asarray(offsets) if offsets is not None else None
     ev_left, ev_right, ev_kind = [], [], []
     ev_ilen, ev_iseq = [], []

@@ -27,6 +27,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from tophat_tpu.index.fm import host_codes
+
 from tophat_tpu.index.fasta import revcomp
 from tophat_tpu.ops.events import MAX_INS
 from tophat_tpu.ops.splice import KIND_JUNCTION
@@ -186,9 +188,9 @@ def butterfly_search_events(fm, genome, gs, seg_tables, params):
     # extension table over the IUM reads' forward rows (index_read_mers)
     fwd = [gs.readsg[i, :int(gs.lengths[i])]
            for i in range(gs.rows) if int(gs.strand[i]) == 0]
-    check = ExtendChecker(np.asarray(fm.genome), build_mer_table(fwd))
+    check = ExtendChecker(host_codes(fm), build_mer_table(fwd))
 
-    g = np.asarray(fm.genome)
+    g = host_codes(fm)
     fd, fa, ra, rd = _motif_sites(g, window)
     offsets = genome.offsets
     fl, fr, fan = _pair_and_check(fd, fa, False, offsets, check,
@@ -252,7 +254,7 @@ def microexon_events(fm, genome, gs, seg_tables, params):
         else:
             merged.append([lo, hi, [q]])
 
-    g = np.asarray(fm.genome)
+    g = host_codes(fm)
     offsets = genome.offsets
     ls, rs, an = [], [], []
     for lo, hi, queries in merged:

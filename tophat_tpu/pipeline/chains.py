@@ -328,7 +328,9 @@ def chain_stitch(fm, gs, seg_tables, events, params,
 
         dfs(0, -1, 0, [], [])
         row_codes = gs.readsg[row]
-        genome = np.asarray(fm.genome)
+        from tophat_tpu.index.fm import host_codes
+
+        genome = host_codes(fm)
         for mm, evs, path in chains:
             # assemble ops: merge M runs, insert event ops at crossings
             ops: List[Tuple] = []
@@ -502,7 +504,9 @@ def cross_strand_chains(fm, gs, seg_tables, events, params,
     ev_t = ev_t.reshape(rows, S, -1)
     ev_mm = ev_mm.reshape(rows, S, -1)
     ev_ok = ev_ok.reshape(rows, S, -1)
-    genome = np.asarray(fm.genome)
+    from tophat_tpu.index.fm import host_codes
+
+    genome = host_codes(fm)
     n = genome.shape[0]
     R = rows // 2
     tables4 = (seg_pos, seg_mm, seg_valid, seg_len)

@@ -71,7 +71,9 @@ def coverage_search_events(fm, genome, gs, seg_tables,
     look_left = _paint(n, rises, -EXTEND, REPEAT_TOL)    # island left edges
     look_right = _paint(n, falls, -REPEAT_TOL, EXTEND)   # island right edges
 
-    g = np.asarray(fm.genome)
+    from tophat_tpu.index.fm import host_codes
+
+    g = host_codes(fm)
     g1 = g[:-1]
     g2 = g[1:]
     di_pos = np.arange(n - 1)

@@ -117,6 +117,7 @@ class GroupedMapper:
         self.group_eoff = None
         self._dev_g = -1
         self._dev_fm_cache = None
+        self._dev_codes: Dict[int, object] = {}
 
     def _dev_fm(self, g: int):
         """Device copy of group g's FM index, one group resident at a time
@@ -136,6 +137,37 @@ class GroupedMapper:
             self._dev_fm_cache = self.gfm.fms[g].device_put()
             self._dev_g = g
         return self._dev_fm_cache
+
+    def _light_fm(self, g: int):
+        """Lightweight index view for the post-segment-mapping stages.
+
+        Discovery scans, event realignment, chains, coverage/butterfly and
+        fusion pieces touch only `fm.genome` / `fm.n` — never the FM
+        search tables — so they run against a per-group device copy of
+        the genome CODES (int8, ~1 B/base, all groups resident at once)
+        plus a `genome_host` handle for the host-side consumers
+        (index/fm.host_codes). This removes one full multi-GB index
+        transfer per group per chunk: only full-read alignment and
+        segment mapping still swap the big tables through _dev_fm."""
+        import types
+
+        from tophat_tpu.parallel import auto
+
+        fm = self.gfm.fms[g]
+        if auto.active() is not None:
+            return fm
+        dev = self._dev_codes.get(g)
+        if dev is None:
+            import jax
+
+            # reuse the resident full index's genome when it is current
+            if self._dev_g == g and self._dev_fm_cache is not None:
+                dev = self._dev_fm_cache.genome
+            else:
+                dev = jax.device_put(fm.genome)
+            self._dev_codes[g] = dev
+        return types.SimpleNamespace(genome=dev, genome_host=fm.genome,
+                                     n=fm.n)
 
     def map_chunk_mate(self, batch, side: int) -> MateState:
         gfm, params, log = self.gfm, self.params, self.log
@@ -184,8 +216,12 @@ class GroupedMapper:
         log(f"genome map ({G} groups): {int(((total > 0) & keep).sum())} "
             f"mapped, {int(ium.sum())} IUM")
 
-        gmates = []
-        for g in range(G):
+        gmates = [None] * G
+        # reversed order: the LAST group aligned is still device-resident,
+        # so the spliced phase starts with zero index re-transfer (and the
+        # next chunk's alignment phase starts at group 0 again, which this
+        # loop ends on — steady-state chunks pay G-1 swaps per phase, not G)
+        for g in reversed(range(G)):
             al = alns[g]
             if not isinstance(al.pos, np.ndarray):
                 from tophat_tpu.ops.align import transfer_alignments
@@ -205,9 +241,10 @@ class GroupedMapper:
             _spliced_mate(fm_g,
                           gfm.sub_genomes[g].offsets.astype(np.int32),
                           m, params, log, ium, reads_f, reads_r, lengths)
-            gmates.append(m)
+            gmates[g] = m
+            fm_l = self._light_fm(g)
             self.group_tables[g].append(discover_events(
-                fm_g, gfm.sub_genomes[g].offsets.astype(np.int32),
+                fm_l, gfm.sub_genomes[g].offsets.astype(np.int32),
                 m.gs, params, seg_tables=m.seg_tables, log=None,
                 read_side=side))
             if params.coverage_search and m.seg_tables is not None:
@@ -215,7 +252,7 @@ class GroupedMapper:
                     coverage_search_events
 
                 self.group_tables[g].append(coverage_search_events(
-                    fm_g, gfm.sub_genomes[g], m.gs, m.seg_tables,
+                    fm_l, gfm.sub_genomes[g], m.gs, m.seg_tables,
                     params))
             if m.gapped_events is not None:
                 self.group_tables[g].append(m.gapped_events)
@@ -250,7 +287,8 @@ class GroupedMapper:
         gfm, params, log = self.gfm, self.params, self.log
         merged: Dict[int, list] = {}
         for g, m in enumerate(mate.gmates):
-            candidates_for_mate(self._dev_fm(g), m, self.group_events[g],
+            candidates_for_mate(self._light_fm(g), m,
+                                self.group_events[g],
                                 params, log, paired=paired,
                                 chain_default=False)
             _rebase_candidates(m.cands, int(gfm.bases[g]),
@@ -271,7 +309,7 @@ class GroupedMapper:
             resolved = {r for r, cl in mate.cands.items() if cl}
             for g, m in enumerate(mate.gmates):
                 n0 = {r: len(cl) for r, cl in m.cands.items()}
-                default_chains(self._dev_fm(g), m, self.group_events[g],
+                default_chains(self._light_fm(g), m, self.group_events[g],
                                params, log, resolved=resolved)
                 new: Dict[int, list] = {}
                 for r, cl in m.cands.items():

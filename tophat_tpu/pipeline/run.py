@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from tophat_tpu.index.fasta import Genome, revcomp
-from tophat_tpu.index.fm import FMIndex, build_fm_index
+from tophat_tpu.index.fm import FMIndex, build_fm_index, host_codes
 from tophat_tpu.io.fastq import ReadBatch, batch_reads, read_all
 from tophat_tpu.ops.align import Alignments, align_reads
 from tophat_tpu.ops.events import realign_events
@@ -227,7 +227,7 @@ def _spliced_mate(fm, offsets, m: MateState, params: Params, log,
         from tophat_tpu.ops.gapped import gapped_from_segments
 
         m.gapped_events, m.gapped = gapped_from_segments(
-            np.asarray(fm.genome), gs, m.seg_tables, params,
+            fm.genome, gs, m.seg_tables, params,
             offsets=offsets)
         if m.gapped:
             log(f"bowtie2 gapped: {len(m.gapped)} direct indel alignments")
@@ -381,7 +381,7 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
             log(f"chain stitch: {len(chain_cands)} multi-event chains")
     m.cands = collect_candidates(m.aln, m.gs, events, *spl, params,
                                  stitched=m.stitched,
-                                 genome_codes=np.asarray(fm.genome),
+                                 genome_codes=host_codes(fm),
                                  chain_cands=chain_cands, paired=paired)
 
     # transcriptome-mapped reads report ONLY their rebased transcript hits
