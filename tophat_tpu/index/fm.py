@@ -206,8 +206,8 @@ def _build_kmer_table(text: np.ndarray, sa: np.ndarray, k: int):
         from tophat_tpu.native import sais
 
         kv = sais.kmer_vals(text, sa, k)   # threaded single pass
-        rows = np.nonzero(kv >= 0)[0]
-        vals_sorted = kv[rows]
+        lo, hi = sais.kmer_table(kv, k)    # sequential interval pass
+        return lo, hi
     except Exception:
         v = np.zeros(n - k + 1, dtype=np.int64)
         for j in range(k):

@@ -97,6 +97,28 @@ class _Sais:
             raise RuntimeError("sais_kmer_vals failed")
         return out
 
+    def kmer_table(self, kv: np.ndarray, k: int):
+        """kv (SA-order k-mer keys, -1 invalid) -> (lo, hi) int32[4^k]."""
+        lib = self.lib
+        if not hasattr(lib, "sais_kmer_table"):
+            raise AttributeError("sais_kmer_table missing (stale .so?)")
+        lib.sais_kmer_table.restype = ctypes.c_int
+        lib.sais_kmer_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        kv = np.ascontiguousarray(kv, dtype=np.int32)
+        K4 = 4 ** k
+        lo = np.empty(K4, np.int32)
+        hi = np.empty(K4, np.int32)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.sais_kmer_table(kv.ctypes.data_as(i32),
+                            ctypes.c_int64(kv.shape[0]),
+                            ctypes.c_int64(K4),
+                            lo.ctypes.data_as(i32),
+                            hi.ctypes.data_as(i32))
+        return lo, hi
+
     def suffix_array(self, codes: np.ndarray) -> np.ndarray:
         """SA of codes + implicit sentinel (sa[0] == n), like
         suffix.suffix_array_doubling."""

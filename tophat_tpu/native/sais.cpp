@@ -174,4 +174,23 @@ int sais_kmer_vals(const uint8_t* text, int64_t n, const int64_t* sa,
   for (auto& th : ts) th.join();
   return 0;
 }
+
+// kv (from sais_kmer_vals, SA order, nondecreasing over valid rows) ->
+// per-k-mer SA interval [lo, hi). hi == 0 marks an absent k-mer; the
+// caller zeroes those lo entries. Valid runs are contiguous in SA order
+// (a shorter suffix sorts before its extensions, never inside one
+// k-mer's run), so a single sequential pass suffices and the lo/hi
+// writes are cache-local because kv is sorted.
+int sais_kmer_table(const int32_t* kv, int64_t m, int64_t K4,
+                    int32_t* lo, int32_t* hi) {
+  memset(lo, 0, K4 * sizeof(int32_t));
+  memset(hi, 0, K4 * sizeof(int32_t));
+  for (int64_t i = 0; i < m; ++i) {
+    int32_t v = kv[i];
+    if (v < 0 || v >= K4) continue;
+    if (hi[v] == 0) lo[v] = (int32_t)i;
+    hi[v] = (int32_t)(i + 1);
+  }
+  return 0;
+}
 }

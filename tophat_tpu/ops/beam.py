@@ -56,8 +56,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tophat_tpu.ops.search import backward_search, resolve_sa
-from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
-                                   same_contig)
+from tophat_tpu.ops.verify import (count_mismatches_packed_flat,
+                                   pack_reads, same_contig)
 
 MIN_BEAM_LEN = 10   # shortest row the half-split handles sensibly
 
@@ -279,12 +279,9 @@ def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
     pos = resolve_sa(fm, sel_sa) - sel_off
     r_packed, bad_e, len_e = pack_reads(rows, lengths)
     seg_c = jnp.clip(sel_seg, 0, B - 1)
-    mm = count_mismatches_packed(
-        fm.packed_genome, fm.n_mask, pos[None, :],
-        jnp.take(r_packed, seg_c, axis=0)[None],
-        jnp.take(bad_e, seg_c, axis=0)[None],
-        jnp.take(len_e, seg_c, axis=0)[None], L,
-        has_n=getattr(fm, "has_n", True))[0]
+    mm = count_mismatches_packed_flat(
+        fm.packed_genome, fm.n_mask, pos, seg_c, r_packed, bad_e,
+        len_e, L, has_n=getattr(fm, "has_n", True))
     len_l = jnp.take(lengths, seg_c)
     ok = (kept & (mm <= max_mm) & (pos >= 0)
           & (pos + len_l <= fm.n)

@@ -233,11 +233,38 @@ def realign_events(genome, readsg, lengths, events, max_mm: int,
             np.concatenate(outs_ok, 1))
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _pack_sparse(bt, mm, ok, n_ev, cap: int):
+    """Device-side compaction of a realign (R, E) result to the flat ok
+    entries (row, ev, t, mm) — the host boundary transfers ~n_ok records
+    instead of three dense (R, E) tables (the tables cost seconds through
+    a slow link at production shapes). Event columns >= n_ev are shape
+    padding and masked out. Returns (row, ev, t, mm, count, overflow)."""
+    R, E = ok.shape
+    ok = ok & (jnp.arange(E, dtype=jnp.int32) < n_ev)[None, :]
+    flat = ok.reshape(-1)
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                            (R, E)).reshape(-1)
+    evs = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None, :],
+                           (R, E)).reshape(-1)
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    n = csum[-1]
+    keep = flat & (csum <= cap)
+    slot = jnp.where(keep, csum - 1, cap)
+    pick = lambda a: jnp.zeros(cap + 1, jnp.int32).at[slot].set(
+        jnp.where(keep, a, 0))[:cap]
+    return (pick(rows), pick(evs), pick(bt.reshape(-1)),
+            pick(mm.reshape(-1)), n, n > cap)
+
+
 def _realign_events_grouped(genome, readsg, lengths, events, max_mm: int,
-                            impl: str = "pallas"):
+                            impl: str = "pallas", sparse: bool = False):
     """Route realignment through a fused kernel (Pallas or the XLA scan),
-    one call per distinct insertion length (kernel requirement),
-    scattering results back into the (R, E) tables."""
+    one call per distinct insertion length (kernel requirement).
+
+    sparse=False: dense (R, E) host tables (best_t, mm, ok).
+    sparse=True: flat (rows, evs, t, mm) numpy arrays of the ok entries,
+    packed on device before the transfer."""
     from tophat_tpu.ops.pallas.realign_kernel import (prepare_inputs,
                                                       realign_pallas)
 
@@ -245,10 +272,14 @@ def _realign_events_grouped(genome, readsg, lengths, events, max_mm: int,
 
     R, L = readsg.shape
     E = len(events["left"])
-    best_t = np.zeros((R, E), np.int32)
-    mm = np.full((R, E), 32767, np.int32)
-    ok = np.zeros((R, E), bool)
+    if sparse:
+        acc = ([], [], [], [])
+    else:
+        best_t = np.zeros((R, E), np.int32)
+        mm = np.full((R, E), 32767, np.int32)
+        ok = np.zeros((R, E), bool)
 
+    valid = np.asarray(events["valid"]).astype(bool)
     kinds = np.asarray(events["kind"])
     ilen = np.where(kinds == KIND_INSERTION,
                     np.asarray(events["ins_len"]), 0).astype(np.int32)
@@ -267,9 +298,74 @@ def _realign_events_grouped(genome, readsg, lengths, events, max_mm: int,
         bt, m, o = run(X, YL, YC, lengths_d, L=L, q=int(q),
                        max_mm=max_mm)
         k = len(idx)
-        best_t[:, idx] = np.asarray(bt)[:, :k]
-        mm[:, idx] = np.asarray(m)[:, :k]
-        ok[:, idx] = np.asarray(o)[:, :k]
-    valid = np.asarray(events["valid"]).astype(bool)
+        if sparse:
+            cap = max(4 * R, 4096)
+            rj, ej, tj, mj, n, ovf = _pack_sparse(bt, m, o,
+                                                  jnp.int32(k), cap)
+            if bool(ovf):   # rare repeat blowup: take the dense tables
+                o_np = np.asarray(o)[:, :k] & valid[None, idx]
+                rr, ee = np.nonzero(o_np)
+                acc[0].append(rr.astype(np.int32))
+                acc[1].append(idx[ee].astype(np.int32))
+                acc[2].append(np.asarray(bt)[:, :k][rr, ee])
+                acc[3].append(np.asarray(m)[:, :k][rr, ee])
+                continue
+            nk = int(n)
+            rj = np.asarray(rj)[:nk]
+            ej = np.asarray(ej)[:nk]
+            tj = np.asarray(tj)[:nk]
+            mj = np.asarray(mj)[:nk]
+            vsel = valid[idx[ej]]
+            acc[0].append(rj[vsel])
+            acc[1].append(idx[ej[vsel]].astype(np.int32))
+            acc[2].append(tj[vsel])
+            acc[3].append(mj[vsel])
+        else:
+            best_t[:, idx] = np.asarray(bt)[:, :k]
+            mm[:, idx] = np.asarray(m)[:, :k]
+            ok[:, idx] = np.asarray(o)[:, :k]
+    if sparse:
+        cat = lambda xs: (np.concatenate(xs) if xs
+                          else np.zeros(0, np.int32))
+        return tuple(cat(a) for a in acc)
     ok &= valid[None, :]
     return best_t, mm, ok
+
+
+def realign_events_sparse(genome, readsg, lengths, events, max_mm: int,
+                          chunk: int = 128):
+    """Flat-result realignment for the production candidate path: returns
+    (rows, evs, best_t, mm) numpy arrays of the passing (row, event)
+    pairs only. Single-device runs pack on device (_pack_sparse); the
+    mesh path reuses realign_events' sharded dense tables and flattens
+    on host (they are already host arrays there)."""
+    from tophat_tpu.parallel import auto
+
+    R = readsg.shape[0]
+    E = len(events["left"])
+    if E == 0 or R == 0:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), z.copy(), z.copy()
+    if auto.active() is not None:
+        bt, mm, ok = realign_events(genome, readsg, lengths, events,
+                                    max_mm, chunk=chunk)
+        rr, ee = np.nonzero(ok)
+        return (rr.astype(np.int32), ee.astype(np.int32),
+                bt[rr, ee].astype(np.int32), mm[rr, ee].astype(np.int32))
+    impl = "pallas"
+    if (_PALLAS_BROKEN[0] or jax.default_backend() != "tpu"
+            or readsg.shape[1] < 16):
+        impl = "scan"
+    if impl == "pallas":
+        try:
+            return _realign_events_grouped(genome, readsg, lengths, events,
+                                           max_mm, impl="pallas",
+                                           sparse=True)
+        except Exception:
+            _PALLAS_BROKEN[0] = True
+            import warnings
+
+            warnings.warn("Pallas realign kernel unavailable; using the "
+                          "scan path for this process")
+    return _realign_events_grouped(genome, readsg, lengths, events,
+                                   max_mm, impl="scan", sparse=True)

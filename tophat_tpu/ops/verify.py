@@ -91,42 +91,103 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
     mismatches with XOR + popcount on the VPU.
 
     pos: (B, C) candidate window starts. Caller must mask out-of-bounds
-    candidates itself (their counts are garbage)."""
+    candidates itself (their counts are garbage).
+
+    The word axis is a static python loop, NOT a vectorized trailing dim:
+    every intermediate is one (B, C) plane. A (B, C, W+1) gather volume
+    with W+1 ~ 3 pads its trailing dims to the (8, 128) TPU tile — at the
+    beam engine's million-lane flat candidate sets that layout blowup is
+    a ~300x HBM allocation (observed as a 24 GiB OOM at 585 MB of data)."""
     packed_genome = jnp.asarray(packed_genome)
     n_mask = jnp.asarray(n_mask)
-    B, C = pos.shape
     W = r_packed.shape[-1]
     NW = packed_genome.shape[0]
 
-    word0 = (pos >> 4)[..., None]
-    sh2 = ((pos & 15).astype(jnp.uint32) * 2)[..., None]
-    j = jnp.arange(W + 1, dtype=jnp.int32)
-    raw = packed_genome[jnp.clip(word0 + j, 0, NW - 1)]        # (B, C, W+1)
-    lo = raw[..., :W] >> sh2
-    hi = jnp.where(sh2 > 0, raw[..., 1:] << (32 - sh2), jnp.uint32(0))
-    g = lo | hi                                                 # aligned 2-bit
-
-    x = g ^ r_packed[:, None, :] if r_packed.ndim == 2 else g ^ r_packed
-    m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
-
-    if has_n:
-        # genome N positions -> even-bit mask
-        W1 = (W + 1) // 2 + 1
-        NW1 = n_mask.shape[0]
-        w0n = (pos >> 5)[..., None]
-        shn = (pos & 31).astype(jnp.uint32)[..., None]
-        rawn = n_mask[jnp.clip(w0n + jnp.arange(W1 + 1), 0, NW1 - 1)]
-        lon = rawn[..., :W1] >> shn
-        hin = jnp.where(shn > 0, rawn[..., 1:] << (32 - shn), jnp.uint32(0))
-        n1 = lon | hin                                          # (B, C, W1)
-        wi = jnp.arange(W)
-        halves = n1[..., wi // 2] >> (16 * (wi % 2)).astype(jnp.uint32)
-        m2 = m2 | _expand_1bit_to_even(halves)
-
+    word0 = pos >> 4
+    sh2 = (pos & 15).astype(jnp.uint32) * 2
+    rp = r_packed[:, None, :] if r_packed.ndim == 2 else r_packed
     be = bad_e[:, None, :] if bad_e.ndim == 2 else bad_e
     le = len_e[:, None, :] if len_e.ndim == 2 else len_e
-    m = (m2 | be) & le
-    return jax.lax.population_count(m).sum(axis=-1).astype(jnp.int32)
+
+    if has_n:
+        W1 = (W + 1) // 2 + 1
+        NW1 = n_mask.shape[0]
+        w0n = pos >> 5
+        shn = (pos & 31).astype(jnp.uint32)
+        n_words = []
+        rawn_next = n_mask[jnp.clip(w0n, 0, NW1 - 1)]
+        for j2 in range(W1):
+            rawn_cur = rawn_next
+            rawn_next = n_mask[jnp.clip(w0n + (j2 + 1), 0, NW1 - 1)]
+            lon = rawn_cur >> shn
+            hin = jnp.where(shn > 0, rawn_next << (32 - shn),
+                            jnp.uint32(0))
+            n_words.append(lon | hin)
+
+    total = jnp.zeros(pos.shape, jnp.int32)
+    raw_next = packed_genome[jnp.clip(word0, 0, NW - 1)]
+    for jw in range(W):
+        raw_cur = raw_next
+        raw_next = packed_genome[jnp.clip(word0 + (jw + 1), 0, NW - 1)]
+        lo = raw_cur >> sh2
+        hi = jnp.where(sh2 > 0, raw_next << (32 - sh2), jnp.uint32(0))
+        x = (lo | hi) ^ rp[..., jw]
+        m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
+        if has_n:
+            half = n_words[jw // 2] >> jnp.uint32(16 * (jw % 2))
+            m2 = m2 | _expand_1bit_to_even(half)
+        m = (m2 | be[..., jw]) & le[..., jw]
+        total = total + jax.lax.population_count(m).astype(jnp.int32)
+    return total
+
+
+def count_mismatches_packed_flat(packed_genome, n_mask, pos, seg,
+                                 r_packed, bad_e, len_e, L: int,
+                                 has_n: bool = True):
+    """count_mismatches_packed for FLAT candidate lanes: pos/seg are (K,)
+    (candidate position + owning read row), r_packed/bad_e/len_e are the
+    per-read (B, W) packs. Every intermediate is a 1-D (K,) plane — at
+    K in the tens of millions even a (K, 2) array pads its minor dim to
+    the 128-lane tile (64x HBM blowup), so the word axis is a static
+    loop over per-word gathers instead."""
+    packed_genome = jnp.asarray(packed_genome)
+    n_mask = jnp.asarray(n_mask)
+    W = r_packed.shape[-1]
+    NW = packed_genome.shape[0]
+    word0 = pos >> 4
+    sh2 = (pos & 15).astype(jnp.uint32) * 2
+
+    if has_n:
+        W1 = (W + 1) // 2 + 1
+        NW1 = n_mask.shape[0]
+        w0n = pos >> 5
+        shn = (pos & 31).astype(jnp.uint32)
+        n_words = []
+        rawn_next = n_mask[jnp.clip(w0n, 0, NW1 - 1)]
+        for j2 in range(W1):
+            rawn_cur = rawn_next
+            rawn_next = n_mask[jnp.clip(w0n + (j2 + 1), 0, NW1 - 1)]
+            lon = rawn_cur >> shn
+            hin = jnp.where(shn > 0, rawn_next << (32 - shn),
+                            jnp.uint32(0))
+            n_words.append(lon | hin)
+
+    total = jnp.zeros(pos.shape, jnp.int32)
+    raw_next = packed_genome[jnp.clip(word0, 0, NW - 1)]
+    for jw in range(W):
+        raw_cur = raw_next
+        raw_next = packed_genome[jnp.clip(word0 + (jw + 1), 0, NW - 1)]
+        lo = raw_cur >> sh2
+        hi = jnp.where(sh2 > 0, raw_next << (32 - sh2), jnp.uint32(0))
+        x = (lo | hi) ^ jnp.take(r_packed[:, jw], seg)
+        m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
+        if has_n:
+            half = n_words[jw // 2] >> jnp.uint32(16 * (jw % 2))
+            m2 = m2 | _expand_1bit_to_even(half)
+        m = (m2 | jnp.take(bad_e[:, jw], seg)) \
+            & jnp.take(len_e[:, jw], seg)
+        total = total + jax.lax.population_count(m).astype(jnp.int32)
+    return total
 
 
 def same_contig(offsets, pos, read_len):

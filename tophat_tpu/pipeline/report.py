@@ -331,13 +331,17 @@ def _indel_admission(genome, row_codes, cuts_row, rl, seg_budget, kind,
     return record_ok, False
 
 
-def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
+def collect_candidates(aln, gs, events, spl_rows, spl_evs, spl_ts,
+                       spl_mm_flat,
                        params, stitched=None, genome_codes=None,
                        chain_cands=None,
                        paired=False) -> Dict[int, List[Candidate]]:
     """Merge contiguous alignments, stitched-chain alignments and event
     realignments into per-read candidate lists (the long_spanning_reads
-    output analog)."""
+    output analog). Realignment results arrive SPARSE — flat (row, event,
+    split, mm) arrays of the passing pairs (ops/events.
+    realign_events_sparse), so no dense (R, E) tables cross the
+    host-device boundary."""
     cands: Dict[int, List[Candidate]] = {}
 
     glen_all = genome_codes.shape[0] if genome_codes is not None else None
@@ -381,13 +385,16 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
     five_min = min(params.min_anchor_len, params.segment_length - 2)
     three_min = 5
 
-    if spl_ok.size:
+    if len(spl_rows):
         ev_left = events["left"]
         ev_right = events["right"]
         ev_kind = events["kind"]
         ev_ilen = events["ins_len"]
 
-        rows_all, es_all = np.nonzero(spl_ok)
+        rows_all = np.asarray(spl_rows)
+        es_all = np.asarray(spl_evs)
+        ts_all = np.asarray(spl_ts)
+        mm_all = np.asarray(spl_mm_flat)
         is_junc = (ev_kind[es_all] == KIND_JUNCTION) \
             if len(rows_all) else np.zeros(0, bool)
         # ---- junction candidates: fully vectorized gates + checks ----
@@ -395,7 +402,7 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
         if genome_codes is not None and jsel.any():
             jr = rows_all[jsel]
             je = es_all[jsel]
-            tj = spl_t[jr, je].astype(np.int64)
+            tj = ts_all[jsel].astype(np.int64)
             lj = ev_left[je].astype(np.int64)
             rj = ev_right[je].astype(np.int64)
             gapj = rj - lj - 1
@@ -423,7 +430,7 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 je_k = je[keep]
                 tj_k = tj[keep]
                 po_k = pair_onlyj[keep]
-                mm_k = spl_mm[jr_k, je_k]
+                mm_k = mm_all[jsel][keep]
                 gap_k = gapj[keep]
                 pos_k = pos0j[keep]
                 str_k = strj[keep]
@@ -438,15 +445,20 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                         pair_only=bool(po_k[i])))
             rows_iter = rows_all[~jsel]
             es_iter = es_all[~jsel]
+            ts_iter = ts_all[~jsel]
+            mm_iter = mm_all[~jsel]
         else:
             rows_iter = rows_all
             es_iter = es_all
+            ts_iter = ts_all
+            mm_iter = mm_all
 
-        for row, e in zip(rows_iter, es_iter):
+        for row, e, t_e, mm_e in zip(rows_iter, es_iter, ts_iter,
+                                     mm_iter):
             read = int(gs.read_idx[row])
             if read < 0:  # pow2 padding row
                 continue
-            t = int(spl_t[row, e])
+            t = int(t_e)
             kind = int(ev_kind[e])
             if kind == KIND_INSERTION:
                 gap = int(ev_ilen[e])
@@ -528,11 +540,11 @@ def collect_candidates(aln, gs, events, spl_t, spl_mm, spl_ok,
                 if not ok:
                     continue
             else:
-                spl_mms = int(spl_mm[row, e])
+                spl_mms = int(mm_e)
                 rec_ok = pr_ok = False
             cands.setdefault(read, []).append(Candidate(
                 read=read, pos=int(ev_left[e]) - t + 1,
-                strand=strand, mm=int(spl_mm[row, e]),
+                strand=strand, mm=int(mm_e),
                 kind=kind, ev=int(e), t=t, gap=gap, splice_mms=spl_mms,
                 pair_only=pair_only, pair_ok=pr_ok, record_ok=rec_ok))
 

@@ -23,7 +23,7 @@ from tophat_tpu.index.fasta import Genome, revcomp
 from tophat_tpu.index.fm import FMIndex, build_fm_index, host_codes
 from tophat_tpu.io.fastq import ReadBatch, batch_reads, read_all
 from tophat_tpu.ops.align import Alignments, align_reads
-from tophat_tpu.ops.events import realign_events
+from tophat_tpu.ops.events import realign_events_sparse
 from tophat_tpu.pipeline.juncs import (discover_events, empty_events,
                                        merge_events)
 from tophat_tpu.pipeline.params import Params
@@ -351,12 +351,11 @@ def candidates_for_mate(fm, m: MateState, events, params, log,
     if m.gs.rows and len(events["left"]):
         ev = dict(events)
         ev["valid"] = np.ones(len(ev["left"]), bool)
-        spl = realign_events(fm.genome, m.gs.readsg, m.gs.lengths, ev,
-                             max_mm=realign_mm)
+        spl = realign_events_sparse(fm.genome, m.gs.readsg, m.gs.lengths,
+                                    ev, max_mm=realign_mm)
     else:
-        spl = (np.zeros((m.gs.rows, 0), np.int32),
-               np.zeros((m.gs.rows, 0), np.int32),
-               np.zeros((m.gs.rows, 0), bool))
+        z = np.zeros(0, np.int32)
+        spl = (z, z.copy(), z.copy(), z.copy())
     fr_results = []
     fr_event_pairs = {"fr": (), "rf": ()}
     if params.fusion_search and m.gs.rows:
