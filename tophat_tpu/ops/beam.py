@@ -29,13 +29,14 @@ scans, table lookups and flat gathers (the shapes TPUs like):
      lookup via key arithmetic — no rank scans at all. This replaces the
      role of bowtie's mirror index (.rev.ebwt) at a cost of ~3k table
      gathers per segment instead of a second index in memory.
-  3. All candidate occurrences from every family are flat-compacted,
-     resolved through the (one, forward) SA, and verified as the FULL
-     segment against the word-packed genome + N mask — so every reported
-     mm is the true mismatch count (N counts as a mismatch even inside a
-     seed window, where the FM text's N->A substitution hid it) and
-     family overlap is harmless: hits are sorted per row and exact
-     (row, pos) duplicates are dropped.
+  3. Every family's occurrences lay out as back-to-back runs in a
+     per-row candidate grid (scatter run starts + row cummax — no giant
+     flat compaction), resolve through the (one, forward) SA, and verify
+     as the FULL segment against the word-packed genome + N mask — so
+     every reported mm is the true mismatch count (N counts as a
+     mismatch even inside a seed window, where the FM text's N->A
+     substitution hid it) and residual family overlap is harmless: hits
+     are sorted per row and exact (row, pos) duplicates are dropped.
 
 Sensitivity contract: for max_mismatches <= 2 (the reference's segment
 default) every placement is found for rows with length >= kmer_k + 2;
@@ -56,8 +57,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tophat_tpu.ops.search import backward_search, resolve_sa
-from tophat_tpu.ops.verify import (count_mismatches_packed_flat,
-                                   pack_reads, same_contig)
+from tophat_tpu.ops.verify import (count_mismatches_packed, pack_reads,
+                                   same_contig)
 
 MIN_BEAM_LEN = 10   # shortest row the half-split handles sensibly
 
@@ -153,14 +154,21 @@ def _variant_intervals(fm, rows, lengths, h, seg_ok, *, K: int, nsw: int,
               )[:, :, None] & jnp.ones((1, 1, 3), bool)
         add(key[:, 0:1, None] + delta, jnp.broadcast_to(
             starts[:, 0:1, None], delta.shape), vv)
-    # suffix-window singles: any window position that is a suffix position
+    # suffix-window singles: any window position that is a suffix position.
+    # Family exclusivity: when the W window is active (it handles every
+    # split-pair with j >= K), the tail window keeps only j < K — the
+    # families partition the (i, j) space instead of overlapping, which
+    # cuts the candidate volume ~30% at the default segment length.
     p = jnp.arange(K, dtype=jnp.int32)
+    w_act = (lengths - K) < h                                # W active
     for s in range(1, NS):
         cs = wchars[:, s, :]
         cvar = (cs[:, :, None] + 1 + a3[None, None, :]) % 4
         delta = (cvar - cs[:, :, None]) * pw[None, :, None]
-        in_suffix = (starts[:, s:s + 1] + p[None, :]) >= h[:, None]
-        vv = (wok[:, s:s + 1] & in_suffix)[:, :, None] \
+        jpos = starts[:, s:s + 1] + p[None, :]
+        in_suffix = jpos >= h[:, None]
+        excl = ~w_act[:, None] | (jpos < K)
+        vv = (wok[:, s:s + 1] & in_suffix & excl)[:, :, None] \
             & jnp.ones((1, 1, 3), bool)
         add(key[:, s:s + 1, None] + delta, jnp.broadcast_to(
             starts[:, s:s + 1, None], delta.shape), vv)
@@ -210,7 +218,7 @@ def _variant_intervals(fm, rows, lengths, h, seg_ok, *, K: int, nsw: int,
 
 def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
                max_hits: int, cap_s: int, cap_p: int, cap_v: int,
-               spc1: int, split_pair: bool, nsw: int, h_max: int,
+               spc: int, split_pair: bool, nsw: int, h_max: int,
                pa_cap: int, pb_cap: int, owned_width: int = 0,
                flat_out: bool = False):
     """The whole search as one device program; see module docstring.
@@ -235,64 +243,85 @@ def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
 
     ok_len = lengths >= MIN_BEAM_LEN
     seg_ok = jnp.where(ok_len, jnp.arange(B, dtype=jnp.int32), -1)
-    segi = jnp.arange(B, dtype=jnp.int32)[:, None]
     trunc = jnp.zeros(B, bool)
 
-    lanes = []   # (sa_row, seg, pos_off, valid) flattened per family
-
-    def family(lo_f, hi_f, off_f, cap):
-        nonlocal trunc
-        width = jnp.where((seg_ok >= 0)[..., None] if lo_f.ndim > 1
-                          else seg_ok >= 0, hi_f - lo_f, 0)
-        j = jnp.arange(cap, dtype=jnp.int32)
-        sa_rows = lo_f[..., None] + j
-        valid = j < width[..., None]
-        shp = sa_rows.shape
-        segf = jnp.broadcast_to(
-            segi.reshape((B,) + (1,) * (len(shp) - 1)), shp)
-        offf = jnp.broadcast_to(off_f[..., None], shp)
-        lanes.append((sa_rows.reshape(-1), segf.reshape(-1),
-                      offf.reshape(-1), valid.reshape(-1)))
-        trunc |= (width > cap).reshape(B, -1).any(axis=1)
-
-    family(lo2[:B], hi2[:B], h, cap_s)                  # suffix-exact
-    family(lo2[B:], hi2[B:], jnp.zeros(B, jnp.int32), cap_p)  # prefix
+    # candidate-run tables, one column per seed family "variant":
+    # column 0 = suffix-exact half, 1 = prefix-exact half, 2.. = window
+    # variants. Each row's candidate runs pack back-to-back into a
+    # (B, spc) grid — run-constant quantities reach lanes through ONE
+    # scatter + a row cummax + small row-wise gathers, and the per-read
+    # verify operands broadcast along the row, so the per-lane gather
+    # count (the currency of this engine: ~13 ns each on v5e) stays at
+    # ~6 instead of the ~11 a flat global compaction costs.
+    lo_list = [lo2[:B, None], lo2[B:, None]]
+    hi_list = [hi2[:B, None], hi2[B:, None]]
+    off_list = [h[:, None], jnp.zeros((B, 1), jnp.int32)]
+    caps = [cap_s, cap_p]
     if split_pair:
         vlo, vhi, voff, band_short = _variant_intervals(
             fm, rows, lengths, h, seg_ok, K=fm.kmer_k, nsw=nsw,
             h_max=h_max, pa_cap=pa_cap, pb_cap=pb_cap)
-        family(vlo, vhi, voff, cap_v)
+        lo_list.append(vlo)
+        hi_list.append(vhi)
+        off_list.append(voff)
+        caps += [cap_v] * vlo.shape[1]
         trunc |= band_short
+    lot = jnp.concatenate(lo_list, axis=1)
+    hit = jnp.concatenate(hi_list, axis=1)
+    offt = jnp.concatenate(off_list, axis=1).astype(jnp.int32)
+    NV2 = lot.shape[1]
+    w = jnp.where((seg_ok >= 0)[:, None], hit - lot, 0)
+    w = jnp.maximum(w, 0)
+    capv = jnp.asarray(caps, jnp.int32)[None, :]
+    trunc |= (w > capv).any(axis=1)
+    w = jnp.minimum(w, capv)
+    cumw = jnp.cumsum(w, axis=1)
+    total = cumw[:, -1]
+    trunc |= total > spc
+    starts = cumw - w
 
-    sa_all = jnp.concatenate([x[0] for x in lanes])
-    seg_all = jnp.concatenate([x[1] for x in lanes])
-    off_all = jnp.concatenate([x[2] for x in lanes])
-    valid_all = jnp.concatenate([x[3] for x in lanes])
+    # run-constant quantities reach lanes WITHOUT per-lane gathers: a run
+    # v's lanes need sa_row = (lot[v] - starts[v]) + j and pos_off[v] —
+    # both piecewise-constant-slope along the row, so scatter-ADD each
+    # run's delta at its start column and row-cumsum (zero-width runs at
+    # equal starts chain their deltas additively, which is exactly right)
+    rowi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                            (B, NV2))
+    scol = jnp.clip(starts, 0, spc - 1)
+    base = lot - starts
+    d_base = base - jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), base[:, :-1]], axis=1)
+    d_off = offt - jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), offt[:, :-1]], axis=1)
+    base_p = jnp.zeros((B, spc), jnp.int32).at[(rowi, scol)].add(
+        d_base, mode="drop")
+    off_p = jnp.zeros((B, spc), jnp.int32).at[(rowi, scol)].add(
+        d_off, mode="drop")
+    j = jnp.arange(spc, dtype=jnp.int32)[None, :]
+    sa_row = jnp.cumsum(base_p, axis=1) + j
+    pos_off = jnp.cumsum(off_p, axis=1)
+    lane_valid = j < total[:, None]
+    pos = resolve_sa(fm, jnp.where(lane_valid, sa_row, 0)) - pos_off
 
-    K1 = B * spc1
-    (sel_sa, sel_seg, sel_off), kept, dropped = _compact(
-        valid_all, K1, [(sa_all, 0), (seg_all, B), (off_all, 0)])
-    trunc |= jnp.zeros(B, jnp.int32).at[
-        jnp.clip(seg_all, 0, B - 1)].max(
-        dropped.astype(jnp.int32), mode="drop") > 0
-
-    pos = resolve_sa(fm, sel_sa) - sel_off
     r_packed, bad_e, len_e = pack_reads(rows, lengths)
-    seg_c = jnp.clip(sel_seg, 0, B - 1)
-    mm = count_mismatches_packed_flat(
-        fm.packed_genome, fm.n_mask, pos, seg_c, r_packed, bad_e,
-        len_e, L, has_n=getattr(fm, "has_n", True))
-    len_l = jnp.take(lengths, seg_c)
-    ok = (kept & (mm <= max_mm) & (pos >= 0)
-          & (pos + len_l <= fm.n)
-          & same_contig(offsets, pos, len_l))
+    mm = count_mismatches_packed(
+        fm.packed_genome, fm.n_mask, pos, r_packed, bad_e, len_e, L,
+        has_n=getattr(fm, "has_n", True))
+    ok = (lane_valid & (mm <= max_mm) & (pos >= 0)
+          & (pos + lengths[:, None] <= fm.n))
+    if offsets.shape[0] > 2:    # multi-contig: reject boundary-crossers
+        ok &= same_contig(offsets, pos, lengths[:, None])
     if owned_width:
         ok &= pos < owned_width
 
     K2 = B * max(8, max_hits)
+    segf = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                            (B, spc)).reshape(-1)
     (f_seg, f_pos, f_mm), kept2, dropped2 = _compact(
-        ok, K2, [(sel_seg, B), (pos, jnp.int32(2 ** 30)), (mm, 0)])
-    trunc |= jnp.zeros(B, jnp.int32).at[seg_c].max(
+        ok.reshape(-1), K2,
+        [(segf, B), (pos.reshape(-1), jnp.int32(2 ** 30)),
+         (mm.reshape(-1), 0)])
+    trunc |= jnp.zeros(B, jnp.int32).at[segf].max(
         dropped2.astype(jnp.int32), mode="drop") > 0
     if flat_out:
         return f_seg, f_pos, f_mm, trunc
@@ -304,14 +333,14 @@ def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "n_steps", "max_mm", "max_hits", "cap_s", "cap_p", "cap_v", "spc1",
+    "n_steps", "max_mm", "max_hits", "cap_s", "cap_p", "cap_v", "spc",
     "split_pair", "nsw", "h_max", "pa_cap", "pb_cap"))
 def _beam_jit(fm, rows, lengths, offsets, *, n_steps, max_mm, max_hits,
-              cap_s, cap_p, cap_v, spc1, split_pair, nsw, h_max, pa_cap,
+              cap_s, cap_p, cap_v, spc, split_pair, nsw, h_max, pa_cap,
               pb_cap):
     return _beam_core(fm, rows, lengths, offsets, n_steps=n_steps,
                       max_mm=max_mm, max_hits=max_hits, cap_s=cap_s,
-                      cap_p=cap_p, cap_v=cap_v, spc1=spc1,
+                      cap_p=cap_p, cap_v=cap_v, spc=spc,
                       split_pair=split_pair, nsw=nsw, h_max=h_max,
                       pa_cap=pa_cap, pb_cap=pb_cap)
 
@@ -344,12 +373,20 @@ def beam_plan(fm, L: int, lengths_np, max_mismatches: int):
         pa_cap = int(np.clip(K - (lmin + 1) // 2, 0, 4))
         pb_cap = int(np.clip(K - lmin // 2, 0, 4))
         cap_v = cap(fm.n / 4 ** K, 6, 64, 6)
-        nv = 3 * h_max + 3 * K * nsw + 9 * pa_cap * pb_cap
+        # effective variant count under family exclusivity: for rows where
+        # W is active (l < h + K) the tail contributes only its j < K
+        # positions; longer rows run full suffix-window tiling instead
+        if L <= 2 * K:
+            nv = (3 * h_max + 3 * max(0, K - (L - L // 2))
+                  + 9 * pa_cap * pb_cap)
+        else:
+            nv = 3 * K * nsw
     mu_base = fm.n / 4 ** (L // 2) + fm.n / 4 ** (L - L // 2)
     exp = mu_base + nv * fm.n / 4 ** max(K, 1) if split_pair else mu_base
-    spc1 = int(np.clip(exp * 1.5 + 48, 64, 4096))
+    spc = int(np.clip(exp + 6 * np.sqrt(max(exp, 1)) + 48, 128, 8192))
+    spc = -(-spc // 128) * 128          # lane-tile-friendly width
     return dict(n_steps=n_steps, max_mm=max_mismatches, cap_s=cap_s,
-                cap_p=cap_p, cap_v=cap_v, spc1=spc1,
+                cap_p=cap_p, cap_v=cap_v, spc=spc,
                 split_pair=split_pair, nsw=nsw, h_max=h_max,
                 pa_cap=pa_cap, pb_cap=pb_cap)
 

@@ -141,55 +141,6 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
     return total
 
 
-def count_mismatches_packed_flat(packed_genome, n_mask, pos, seg,
-                                 r_packed, bad_e, len_e, L: int,
-                                 has_n: bool = True):
-    """count_mismatches_packed for FLAT candidate lanes: pos/seg are (K,)
-    (candidate position + owning read row), r_packed/bad_e/len_e are the
-    per-read (B, W) packs. Every intermediate is a 1-D (K,) plane — at
-    K in the tens of millions even a (K, 2) array pads its minor dim to
-    the 128-lane tile (64x HBM blowup), so the word axis is a static
-    loop over per-word gathers instead."""
-    packed_genome = jnp.asarray(packed_genome)
-    n_mask = jnp.asarray(n_mask)
-    W = r_packed.shape[-1]
-    NW = packed_genome.shape[0]
-    word0 = pos >> 4
-    sh2 = (pos & 15).astype(jnp.uint32) * 2
-
-    if has_n:
-        W1 = (W + 1) // 2 + 1
-        NW1 = n_mask.shape[0]
-        w0n = pos >> 5
-        shn = (pos & 31).astype(jnp.uint32)
-        n_words = []
-        rawn_next = n_mask[jnp.clip(w0n, 0, NW1 - 1)]
-        for j2 in range(W1):
-            rawn_cur = rawn_next
-            rawn_next = n_mask[jnp.clip(w0n + (j2 + 1), 0, NW1 - 1)]
-            lon = rawn_cur >> shn
-            hin = jnp.where(shn > 0, rawn_next << (32 - shn),
-                            jnp.uint32(0))
-            n_words.append(lon | hin)
-
-    total = jnp.zeros(pos.shape, jnp.int32)
-    raw_next = packed_genome[jnp.clip(word0, 0, NW - 1)]
-    for jw in range(W):
-        raw_cur = raw_next
-        raw_next = packed_genome[jnp.clip(word0 + (jw + 1), 0, NW - 1)]
-        lo = raw_cur >> sh2
-        hi = jnp.where(sh2 > 0, raw_next << (32 - sh2), jnp.uint32(0))
-        x = (lo | hi) ^ jnp.take(r_packed[:, jw], seg)
-        m2 = (x | (x >> 1)) & jnp.uint32(EVEN)
-        if has_n:
-            half = n_words[jw // 2] >> jnp.uint32(16 * (jw % 2))
-            m2 = m2 | _expand_1bit_to_even(half)
-        m = (m2 | jnp.take(bad_e[:, jw], seg)) \
-            & jnp.take(len_e[:, jw], seg)
-        total = total + jax.lax.population_count(m).astype(jnp.int32)
-    return total
-
-
 def same_contig(offsets, pos, read_len):
     """True where [pos, pos+read_len) lies inside one contig of the
     concatenated genome (offsets: (num_contigs+1,) int64/int32)."""
