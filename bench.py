@@ -55,7 +55,9 @@ def get_fm():
     # forward k-mer table, ops/beam.py)
     path = os.path.join(CACHE, f"fm_{GENOME_N}_s7_k{KMER_K}_r{SA_RATE}_v4.npz")
     if os.path.exists(path):
-        return FMIndex.load(path)
+        from tophat_tpu.index.fm import ensure_dual_pack
+
+        return ensure_dual_pack(FMIndex.load(path))
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 4, GENOME_N).astype(np.int8)
     genome = Genome(codes=codes, offsets=np.array([0, GENOME_N]),

@@ -69,8 +69,14 @@ class FMIndex:
     genome: Any      # int8[n]
     primary: Any     # int32[] scalar
     # word-packed genome for fast verification: 2-bit codes (N stored as 0)
-    # and a 1-bit N mask, both little-endian within each uint32
-    packed_genome: Any  # uint32[ceil(n/16)]
+    # and a 1-bit N mask, both little-endian within each uint32. When
+    # pg_dual, an 8-base-shifted second pack is APPENDED (words cover
+    # [8+16j, 24+16j)): any L-window with L <= 16*ceil(L/16) - 7 then
+    # needs only ceil(L/16) word gathers — the copy whose alignment puts
+    # the window start in the low half of a word always exists. Existing
+    # consumers are unaffected: in-bounds candidates never index past the
+    # primary region, and out-of-bounds lanes were already masked.
+    packed_genome: Any  # uint32[ceil(n/16) (+ ceil((n-8)/16) if dual)]
     n_mask: Any         # uint32[ceil(n/32)]
     # mid-checkpoints: occ_mid[k, c] = #c in bwt[(k//4)*128 : k*32) — the
     # 32-base prefix within each 128-base block, so a rank() needs only 2
@@ -94,6 +100,9 @@ class FMIndex:
     # genomes without any N skip the N-mask gather in verification
     # (one of the two hottest gathers at chromosome scale)
     has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # packed_genome carries the appended 8-shifted copy (see above)
+    pg_dual: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @property
     def nbytes(self) -> int:
@@ -132,7 +141,7 @@ class FMIndex:
             sa_mark_mid=np.asarray(self.sa_mark_mid),
             sa_samples=np.asarray(self.sa_samples),
             n=self.n, kmer_k=self.kmer_k, sa_rate=self.sa_rate,
-            has_n=self.has_n)
+            has_n=self.has_n, pg_dual=self.pg_dual)
 
     @staticmethod
     def load(path: str) -> "FMIndex":
@@ -152,7 +161,9 @@ class FMIndex:
             sa_rate=int(get("sa_rate", np.int32(0))[()]
                         if "sa_rate" in z.files else 0),
             has_n=bool(z["has_n"][()]) if "has_n" in z.files
-            else bool(np.any(z["n_mask"])))
+            else bool(np.any(z["n_mask"])),
+            pg_dual=bool(z["pg_dual"][()]) if "pg_dual" in z.files
+            else False)
 
 
 def pack_1bit(bits: np.ndarray) -> np.ndarray:
@@ -236,6 +247,20 @@ def _occ_tables(bwt: np.ndarray, m: int):
     occ_mid = np.concatenate([occ_mid.reshape(-1, 4),
                               np.zeros((4, 4), np.uint8)]).astype(np.uint8)
     return occ_ck, occ_mid
+
+
+def ensure_dual_pack(fm: "FMIndex") -> "FMIndex":
+    """Upgrade a legacy (non-dual) index in memory: append the 8-shifted
+    genome pack so verification uses W instead of W+1 word gathers.
+    ~13 s/Gbp of host packing, once per load."""
+    if fm.pg_dual:
+        return fm
+    text = np.where(np.asarray(fm.genome) == 4, 0,
+                    np.asarray(fm.genome)).astype(np.int8)
+    return dataclasses.replace(
+        fm, packed_genome=np.concatenate(
+            [np.asarray(fm.packed_genome), pack_2bit(text[8:])]),
+        pg_dual=True)
 
 
 def host_codes(fm) -> np.ndarray:
@@ -335,7 +360,9 @@ def build_fm_index(genome: Genome | np.ndarray,
         packed_bwt=pack_2bit(bwt), occ_ck=occ_ck, occ_mid=occ_mid, C=C,
         sa=sa_store, genome=codes,
         primary=np.int32(primary),
-        packed_genome=pack_2bit(text), n_mask=pack_1bit(codes == 4),
+        packed_genome=np.concatenate([pack_2bit(text),
+                                      pack_2bit(text[8:])]),
+        pg_dual=True, n_mask=pack_1bit(codes == 4),
         kmer_lo=kmer_lo, kmer_hi=kmer_hi,
         sa_marks=sa_marks, sa_mark_ck=sa_mark_ck, sa_mark_mid=sa_mark_mid,
         sa_samples=sa_samples, has_n=bool((codes == 4).any()),

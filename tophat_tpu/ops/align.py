@@ -309,20 +309,23 @@ def _align_one_strand(fm, reads, lengths, max_mismatches: int,
         rows = jnp.broadcast_to(
             jnp.arange(B, dtype=jnp.int32)[:, None], (B, W)).reshape(-1)
         sel_row = jnp.zeros(KV + 1, jnp.int32).at[slot].set(rows)[:KV]
+        dn = ((fm.n + 15) // 16) if getattr(fm, "pg_dual", False) else 0
         mm_k = count_mismatches_packed(
             fm.packed_genome, fm.n_mask, sel_pos[None, :],
             jnp.take(r_packed, sel_row, axis=0)[None],
             jnp.take(bad_e, sel_row, axis=0)[None],
-            jnp.take(len_e, sel_row, axis=0)[None], L, has_n=has_n)[0]
+            jnp.take(len_e, sel_row, axis=0)[None], L, has_n=has_n,
+            dual_nwp=dn)[0]
         big = jnp.int32(127)
         mm = jnp.where(
             keep2, jnp.concatenate([mm_k, jnp.full(1, big, jnp.int32)])[
                 jnp.minimum(slot, KV)], big).reshape(B, W)
         cand_valid = keep2.reshape(B, W)
     else:
+        dn = ((fm.n + 15) // 16) if getattr(fm, "pg_dual", False) else 0
         mm = count_mismatches_packed(fm.packed_genome, fm.n_mask, cand,
                                      r_packed, bad_e, len_e, L,
-                                     has_n=has_n)
+                                     has_n=has_n, dual_nwp=dn)
         cand_valid = prevalid
     cand_valid &= (mm <= max_mismatches) & (cand + lengths[:, None] <= fm.n)
     return cand, mm.astype(jnp.int32), cand_valid, truncated

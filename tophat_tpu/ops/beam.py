@@ -304,9 +304,10 @@ def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
     pos = resolve_sa(fm, jnp.where(lane_valid, sa_row, 0)) - pos_off
 
     r_packed, bad_e, len_e = pack_reads(rows, lengths)
+    dn = ((fm.n + 15) // 16) if getattr(fm, "pg_dual", False) else 0
     mm = count_mismatches_packed(
         fm.packed_genome, fm.n_mask, pos, r_packed, bad_e, len_e, L,
-        has_n=getattr(fm, "has_n", True))
+        has_n=getattr(fm, "has_n", True), dual_nwp=dn)
     ok = (lane_valid & (mm <= max_mm) & (pos >= 0)
           & (pos + lengths[:, None] <= fm.n))
     if offsets.shape[0] > 2:    # multi-contig: reject boundary-crossers

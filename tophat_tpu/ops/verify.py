@@ -85,7 +85,8 @@ def _expand_1bit_to_even(x16):
 
 
 def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
-                            len_e, L: int, has_n: bool = True):
+                            len_e, L: int, has_n: bool = True,
+                            dual_nwp: int = 0):
     """Word-packed replacement for gather_windows + count_mismatches:
     gathers ~L/16 uint32 words per candidate instead of L bytes and counts
     mismatches with XOR + popcount on the VPU.
@@ -97,14 +98,28 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
     every intermediate is one (B, C) plane. A (B, C, W+1) gather volume
     with W+1 ~ 3 pads its trailing dims to the (8, 128) TPU tile — at the
     beam engine's million-lane flat candidate sets that layout blowup is
-    a ~300x HBM allocation (observed as a 24 GiB OOM at 585 MB of data)."""
+    a ~300x HBM allocation (observed as a 24 GiB OOM at 585 MB of data).
+
+    dual_nwp > 0: packed_genome carries the appended 8-shifted copy
+    (index/fm.FMIndex.pg_dual, primary region dual_nwp words). When the
+    window also satisfies L <= 16*W - 7, the copy whose alignment puts
+    pos in the low half of a word is chosen per lane, which drops the
+    genome gathers from W+1 to W — the largest single term of the
+    segment engine's verify budget."""
     packed_genome = jnp.asarray(packed_genome)
     n_mask = jnp.asarray(n_mask)
     W = r_packed.shape[-1]
     NW = packed_genome.shape[0]
 
-    word0 = pos >> 4
-    sh2 = (pos & 15).astype(jnp.uint32) * 2
+    dual = bool(dual_nwp) and L <= 16 * W - 7
+    if dual:
+        sel = (pos & 15) >= 8
+        eff = jnp.where(sel, pos - 8, pos)
+        word0 = jnp.where(sel, dual_nwp + (eff >> 4), eff >> 4)
+        sh2 = (eff & 15).astype(jnp.uint32) * 2      # <= 14
+    else:
+        word0 = pos >> 4
+        sh2 = (pos & 15).astype(jnp.uint32) * 2
     rp = r_packed[:, None, :] if r_packed.ndim == 2 else r_packed
     be = bad_e[:, None, :] if bad_e.ndim == 2 else bad_e
     le = len_e[:, None, :] if len_e.ndim == 2 else len_e
@@ -125,10 +140,14 @@ def count_mismatches_packed(packed_genome, n_mask, pos, r_packed, bad_e,
             n_words.append(lon | hin)
 
     total = jnp.zeros(pos.shape, jnp.int32)
+    zero32 = jnp.zeros(pos.shape, jnp.uint32)
     raw_next = packed_genome[jnp.clip(word0, 0, NW - 1)]
     for jw in range(W):
         raw_cur = raw_next
-        raw_next = packed_genome[jnp.clip(word0 + (jw + 1), 0, NW - 1)]
+        last = dual and jw == W - 1      # dual: word W would cross into
+        #                                  the other copy — never needed
+        raw_next = zero32 if last else \
+            packed_genome[jnp.clip(word0 + (jw + 1), 0, NW - 1)]
         lo = raw_cur >> sh2
         hi = jnp.where(sh2 > 0, raw_next << (32 - sh2), jnp.uint32(0))
         x = (lo | hi) ^ rp[..., jw]
