@@ -27,8 +27,10 @@ scans, table lookups and flat gathers (the shapes TPUs like):
      mismatch pair adjacent to the midpoint, double-variants of the
      midband); each variant's SA interval comes from ONE k-mer-table
      lookup via key arithmetic — no rank scans at all. This replaces the
-     role of bowtie's mirror index (.rev.ebwt) at a cost of ~3k table
-     gathers per segment instead of a second index in memory.
+     role of bowtie's mirror index (.rev.ebwt) at a cost of a couple
+     hundred table gathers per segment instead of a second index in
+     memory; the families partition the mismatch-pair space, so no
+     placement is searched twice.
   3. Every family's occurrences lay out as back-to-back runs in a
      per-row candidate grid (scatter run starts + row cummax — no giant
      flat compaction), resolve through the (one, forward) SA, and verify
