@@ -152,3 +152,53 @@ def test_sampled_sa_equivalence(rng):
         full = np.asarray(resolve_sa(fm_full, np.asarray(idx, np.int32)))
         samp = np.asarray(resolve_sa(fm_s, np.asarray(idx, np.int32)))
         np.testing.assert_array_equal(full, samp)
+
+
+def test_dual_pack_verify_equivalence():
+    """The appended 8-shifted genome pack (FMIndex.pg_dual) must give
+    bit-identical mismatch counts to the plain W+1-gather path, at every
+    window alignment and for N bases."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tophat_tpu.index.fm import build_fm_index, ensure_dual_pack
+    from tophat_tpu.ops.verify import count_mismatches_packed, pack_reads
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 40_000).astype(np.int8)
+    codes[rng.integers(0, 40_000, 50)] = 4          # sprinkle Ns
+    fm = build_fm_index(codes, kmer_k=8)
+    assert fm.pg_dual
+    nwp = (fm.n + 15) // 16
+    legacy_pg = np.asarray(fm.packed_genome)[:nwp]  # strip the copy
+
+    for L in (25, 24, 31, 44, 100):
+        B = 64
+        reads = np.full((B, L), -1, np.int8)
+        lens = np.zeros(B, np.int32)
+        pos = np.zeros((B, 4), np.int32)
+        for b in range(B):
+            p = int(rng.integers(0, 40_000 - L - 20))
+            seg = codes[p:p + L].copy()
+            if b % 3 == 1:
+                seg[int(rng.integers(0, L))] = (seg[0] + 1) % 4
+            reads[b] = seg
+            lens[b] = L
+            pos[b] = [p, p + int(rng.integers(1, 9)), p - 3, p + 15]
+        rp, be, le = pack_reads(jnp.asarray(reads), jnp.asarray(lens))
+        plain = count_mismatches_packed(legacy_pg, fm.n_mask,
+                                        jnp.asarray(pos), rp, be, le, L)
+        dual = count_mismatches_packed(fm.packed_genome, fm.n_mask,
+                                       jnp.asarray(pos), rp, be, le, L,
+                                       dual_nwp=nwp)
+        assert np.array_equal(np.asarray(plain), np.asarray(dual)), L
+
+    # legacy-cache upgrade path
+    import dataclasses
+
+    legacy = dataclasses.replace(fm, packed_genome=legacy_pg,
+                                 pg_dual=False)
+    up = ensure_dual_pack(legacy)
+    assert up.pg_dual
+    assert np.array_equal(np.asarray(up.packed_genome),
+                          np.asarray(fm.packed_genome))
