@@ -25,7 +25,6 @@ import dataclasses
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tophat_tpu.index.fasta import Genome

@@ -32,8 +32,8 @@ scans, table lookups and flat gathers (the shapes TPUs like):
      memory; the families partition the mismatch-pair space, so no
      placement is searched twice.
   3. Every family's occurrences lay out as back-to-back runs in a
-     per-row candidate grid (scatter run starts + row cummax — no giant
-     flat compaction), resolve through the (one, forward) SA, and verify
+     per-row candidate grid (scatter-added run deltas + row cumsums — no
+     giant flat compaction), resolve through the (one, forward) SA, and verify
      as the FULL segment against the word-packed genome + N mask — so
      every reported mm is the true mismatch count (N counts as a
      mismatch even inside a seed window, where the FM text's N->A
@@ -250,11 +250,12 @@ def _beam_core(fm, rows, lengths, offsets, *, n_steps: int, max_mm: int,
     # candidate-run tables, one column per seed family "variant":
     # column 0 = suffix-exact half, 1 = prefix-exact half, 2.. = window
     # variants. Each row's candidate runs pack back-to-back into a
-    # (B, spc) grid — run-constant quantities reach lanes through ONE
-    # scatter + a row cummax + small row-wise gathers, and the per-read
-    # verify operands broadcast along the row, so the per-lane gather
-    # count (the currency of this engine: ~13 ns each on v5e) stays at
-    # ~6 instead of the ~11 a flat global compaction costs.
+    # (B, spc) grid — run-constant quantities reach lanes through
+    # scatter-added deltas + row cumsums (piecewise-linear
+    # reconstruction), and the per-read verify operands broadcast along
+    # the row, so the per-lane gather count (the currency of this
+    # engine: ~13-15 ns each on v5e) stays at ~3 instead of the ~11 a
+    # flat global compaction costs.
     lo_list = [lo2[:B, None], lo2[B:, None]]
     hi_list = [hi2[:B, None], hi2[B:, None]]
     off_list = [h[:, None], jnp.zeros((B, 1), jnp.int32)]

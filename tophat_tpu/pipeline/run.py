@@ -24,8 +24,7 @@ from tophat_tpu.index.fm import FMIndex, build_fm_index, host_codes
 from tophat_tpu.io.fastq import ReadBatch, batch_reads, read_all
 from tophat_tpu.ops.align import Alignments, align_reads
 from tophat_tpu.ops.events import realign_events_sparse
-from tophat_tpu.pipeline.juncs import (discover_events, empty_events,
-                                       merge_events)
+from tophat_tpu.pipeline.juncs import discover_events, merge_events
 from tophat_tpu.pipeline.params import Params
 from tophat_tpu.pipeline.prep import prep_filter
 from tophat_tpu.pipeline.report import (accumulate_event_stats,
