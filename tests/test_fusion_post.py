@@ -63,7 +63,11 @@ def test_fusion_post_end_to_end(fusion_run, monkeypatch):
 
     # result.txt: sample gene1 chr1 left gene2 chr2 right reads pairs
     # pairs_fusion score (reference :2302-2313)
-    res = (out / "result.txt").read_text().splitlines()
+    raw = (out / "result.txt").read_text().splitlines()
+    # no blastn in this env: the skip must be asserted loudly in the
+    # result file itself, not only in a log line
+    assert raw and raw[0].startswith("# WARNING: blastn re-check stage")
+    res = [ln for ln in raw if not ln.startswith("#")]
     assert res
     t = res[0].split("\t")
     assert len(t) == 11 and t[0] == "s1"

@@ -79,3 +79,45 @@ def test_v2_prefers_gtf_junction(built):
     poses = {c.pos for c in outs["v2"]}
     assert poses == {a2 - 30}, \
         f"v2 must keep only the GTF-matched junction placement: {poses}"
+
+
+def test_v2_sam_gold_composition(tmp_path):
+    """--v2-sam on a full gold regression case: v2 scores rank the
+    candidates but admission stays the (v1) acceptance path, so junction
+    discovery must be unchanged — junctions.bed byte-identical to gold and
+    the mapped read set identical to the default-mode run (ties may
+    reorder; the aligned set may not change)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import regress as R
+
+    case = "test_SimpleSplicing"
+    case_dir = os.path.join(R.CASES_DIR, case)
+    args = R.parse_command(case_dir)
+    cwd = os.getcwd()
+    os.chdir(case_dir)
+    try:
+        from tophat_tpu.cli.main import main
+        main(["-o", str(tmp_path / "v2"), "--v2-sam"] + args)
+        main(["-o", str(tmp_path / "v1")] + args)
+    finally:
+        os.chdir(cwd)
+
+    gold = open(os.path.join(case_dir, "tophat_out",
+                             "junctions.bed")).read()
+    assert open(tmp_path / "v2" / "junctions.bed").read() == gold
+
+    def mapped(d):
+        return {ln.split("\t", 1)[0]
+                for ln in open(d / "accepted_hits.sam")
+                if not ln.startswith("@")}
+
+    assert mapped(tmp_path / "v2") == mapped(tmp_path / "v1")
+    # v2 records must still be calmd-consistent (bases/CIGAR/NM vs genome)
+    bad = R.check_nm_consistency(
+        str(tmp_path / "v2" / "accepted_hits.sam"),
+        os.path.join(R.CASES_DIR, "common_genomes", "fake.fa"))
+    assert not bad, bad

@@ -850,11 +850,19 @@ def cluster_fusions(fusion_list, max_num):
     return clusters[:max_num]
 
 
-def write_report(fusion_list, clusters, out_dir):
-    """result.txt (tab table) + result.html (:2195-2360)."""
+def write_report(fusion_list, clusters, out_dir, blast_ran=True):
+    """result.txt (tab table) + result.html (:2195-2360). When the blastn
+    re-check stage did not run (no blastn on PATH / no blast/ databases),
+    the skip is asserted loudly as a leading comment in result.txt — not
+    only in a log line — so downstream consumers see that fusions were NOT
+    repeat-filtered by blast."""
     txt_path = os.path.join(out_dir, "result.txt")
     html_path = os.path.join(out_dir, "result.html")
     with open(txt_path, "w") as txt, open(html_path, "w") as html:
+        if not blast_ran:
+            txt.write("# WARNING: blastn re-check stage SKIPPED; "
+                      "candidates were not blast-filtered against "
+                      "genomic/nt repeats\n")
         html.write("<HTML>\n<HEAD>\n<TITLE>result</TITLE>\n"
                    "<style type=\"text/css\">\nH1 { margin: 0 0 0 0; }\n"
                    "</style>\n</HEAD>\n<BODY>\n")
@@ -914,7 +922,7 @@ def do_blast(potential, params, out_dir, cwd="."):
     if shutil.which("blastn") is None or not os.path.isdir(blast_dir):
         print("[fusion-post] blastn or blast/ databases unavailable — "
               "skipping the blast re-check stage", file=sys.stderr)
-        return
+        return False
     print("[fusion-post] blasting 50-mers around fusions", file=sys.stderr)
     g_out = os.path.join(out_dir, "blast_genomic")
     nt_out = os.path.join(out_dir, "blast_nt")
@@ -948,6 +956,7 @@ def do_blast(potential, params, out_dir, cwd="."):
         for s in (left_seq, right_seq, both):
             blast(genomic_db, s, g_out)
             blast(nt_db, s, nt_out)
+    return True
 
 
 def main(argv=None):
@@ -993,8 +1002,9 @@ def main(argv=None):
             lines = open(path).read().splitlines()
             potential = [lines[i:i + 6] for i in range(0, len(lines), 6)]
 
+    blast_ran = False
     if not args.skip_blast:
-        do_blast(potential, args, out_dir)
+        blast_ran = bool(do_blast(potential, args, out_dir))
 
     panels = {}
     if not args.skip_read_dist:
@@ -1006,7 +1016,7 @@ def main(argv=None):
         print("[fusion-post] reporting", file=sys.stderr)
         fusion_list = score_fusions(potential, panels, args)
         clusters = cluster_fusions(fusion_list, args.max_num_fusions)
-        write_report(fusion_list, clusters, out_dir)
+        write_report(fusion_list, clusters, out_dir, blast_ran=blast_ran)
     return 0
 
 
